@@ -1,0 +1,179 @@
+"""All-pairs posterior stage: batched device DP over length buckets.
+
+The reference runs an OpenMP loop over the N(N-1)/2 pairs
+(MSA.cpp:926-1013); here pairs are padded into fixed (batch, Lp) buckets
+and the whole batch runs as one vmapped row-scan on device — the analogue
+of QuickProbs' wave scheduler (QuickPosteriorStage.cpp:107-135) with XLA
+managing memory.
+
+Model selection per family identity class (pdoAlign, MSA.cpp:941-1010):
+  pid <= 1 : RMS combine of double-affine HMM, partition-function and
+             local posteriors  sqrt((v1^2+v2^2+v3^2)/3)
+  pid == 2 : local model only
+  pid >= 3 : partition function only
+"""
+from __future__ import annotations
+
+import functools
+from typing import Iterator, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mlprobs_tpu.models import params as mp
+from mlprobs_tpu.ops import mwt, pairhmm, partition, viterbi
+
+LEN_BUCKET = 64          # pad lengths to multiples of this (compile reuse)
+MAX_BATCH_ELEMS = 2**26  # cap on batch * Lp^2 posterior elements
+
+
+def _bucket_len(n: int) -> int:
+    return max(LEN_BUCKET, -(-n // LEN_BUCKET) * LEN_BUCKET)
+
+
+def _batch_size(lp: int) -> int:
+    b = max(1, MAX_BATCH_ELEMS // (lp * lp))
+    return 1 << (b.bit_length() - 1)  # round down to a power of two
+
+
+def hmm5_dict():
+    p = mp.hmm5_params()
+    return {
+        "trans": jnp.asarray(p.trans),
+        "init": jnp.asarray(p.init),
+        "lmatch": jnp.asarray(p.lmatch),
+        "lins": jnp.asarray(p.lins),
+    }
+
+
+def local_dict(leave_prob: float | None = None):
+    p = mp.hmm_local_params(leave_prob)
+    return {
+        "trans": jnp.asarray(p.trans),
+        "lmatch": jnp.asarray(p.lmatch),
+        "lins": jnp.asarray(p.lins),
+        "log_stay": jnp.asarray(p.log_stay),
+    }
+
+
+def partition_dict():
+    p = mp.partition_params()
+    return {
+        "lscore": jnp.asarray(p.lscore),
+        "lgap_open": jnp.asarray(p.lgap_open),
+        "lgap_ext": jnp.asarray(p.lgap_ext),
+    }
+
+
+def _pair_posterior(x, y, lx, ly, p5, pl, pp, mode):
+    if mode == "mix":
+        v1 = pairhmm.hmm5_posterior(x, y, lx, ly, p5)
+        v2 = partition.partition_posterior(x, y, lx, ly, pp)
+        v3 = pairhmm.local_posterior(x, y, lx, ly, pl)
+        return jnp.sqrt((v1 * v1 + v2 * v2 + v3 * v3) / 3.0)
+    if mode == "local":
+        return pairhmm.local_posterior(x, y, lx, ly, pl)
+    if mode == "partition":
+        return partition.partition_posterior(x, y, lx, ly, pp)
+    if mode == "hmm5":
+        return pairhmm.hmm5_posterior(x, y, lx, ly, p5)
+    raise ValueError(mode)
+
+
+@functools.lru_cache(maxsize=64)
+def _posterior_fn(mode: str):
+    def one(x, y, lx, ly, p5, pl, pp):
+        post = _pair_posterior(x, y, lx, ly, p5, pl, pp, mode)
+        dirs, score = mwt.mwt_align(post, lx, ly)
+        del dirs
+        return post, score
+
+    return jax.jit(
+        jax.vmap(one, in_axes=(0, 0, 0, 0, None, None, None))
+    )
+
+
+@functools.lru_cache(maxsize=8)
+def _viterbi_fn():
+    def one(x, y, lx, ly, pl):
+        return viterbi.viterbi_local(x, y, lx, ly, pl)
+
+    return jax.jit(jax.vmap(one, in_axes=(0, 0, 0, 0, None)))
+
+
+def _pad_to(seq: np.ndarray, lp: int) -> np.ndarray:
+    out = np.full(lp, 20, dtype=np.int8)
+    out[: len(seq)] = seq
+    return out
+
+
+def iter_pair_batches(
+    seqs: Sequence[np.ndarray], pairs: Sequence[tuple[int, int]]
+) -> Iterator[tuple[list[tuple[int, int]], np.ndarray, np.ndarray,
+                    np.ndarray, np.ndarray]]:
+    """Yield (pair_chunk, X, Y, LX, LY) padded device batches."""
+    if not pairs:
+        return
+    lp = _bucket_len(max(len(s) for s in seqs))
+    bs = _batch_size(lp)
+    padded = [_pad_to(s, lp) for s in seqs]
+    lens = [len(s) for s in seqs]
+    for start in range(0, len(pairs), bs):
+        chunk = list(pairs[start : start + bs])
+        n = len(chunk)
+        X = np.stack([padded[i] for i, _ in chunk]
+                     + [padded[chunk[0][0]]] * (bs - n))
+        Y = np.stack([padded[j] for _, j in chunk]
+                     + [padded[chunk[0][1]]] * (bs - n))
+        LX = np.array([lens[i] for i, _ in chunk] + [1] * (bs - n),
+                      dtype=np.int32)
+        LY = np.array([lens[j] for _, j in chunk] + [1] * (bs - n),
+                      dtype=np.int32)
+        yield chunk, X, Y, LX, LY
+
+
+def all_pairs_posteriors(
+    seqs: Sequence[np.ndarray],
+    mode: str,
+    leave_prob: float | None = None,
+    pairs: Sequence[tuple[int, int]] | None = None,
+) -> Iterator[tuple[tuple[int, int], np.ndarray, float]]:
+    """Yield ((i, j), posterior (li, lj) float32, mwt_score) per pair."""
+    n = len(seqs)
+    if pairs is None:
+        pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
+    p5, pl, pp = hmm5_dict(), local_dict(leave_prob), partition_dict()
+    fn = _posterior_fn(mode)
+    for chunk, X, Y, LX, LY in iter_pair_batches(seqs, pairs):
+        post, score = fn(
+            jnp.asarray(X), jnp.asarray(Y), jnp.asarray(LX),
+            jnp.asarray(LY), p5, pl, pp
+        )
+        post = np.asarray(post)
+        score = np.asarray(score)
+        for k, (i, j) in enumerate(chunk):
+            li, lj = len(seqs[i]), len(seqs[j])
+            yield (i, j), post[k, :li, :lj], float(score[k])
+
+
+def all_pairs_viterbi(
+    seqs: Sequence[np.ndarray],
+    pairs: Sequence[tuple[int, int]] | None = None,
+) -> Iterator[tuple[tuple[int, int], np.ndarray, int]]:
+    """Yield ((i, j), packed direction matrix, end_state) per pair."""
+    n = len(seqs)
+    if pairs is None:
+        pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
+    pl = local_dict()
+    fn = _viterbi_fn()
+    for chunk, X, Y, LX, LY in iter_pair_batches(seqs, pairs):
+        dirs, end_state, _ = fn(
+            jnp.asarray(X), jnp.asarray(Y), jnp.asarray(LX),
+            jnp.asarray(LY), pl
+        )
+        dirs = np.asarray(dirs)
+        ends = np.asarray(end_state)
+        for k, (i, j) in enumerate(chunk):
+            li, lj = len(seqs[i]), len(seqs[j])
+            yield (i, j), dirs[k, : li + 1, : lj + 1], int(ends[k])

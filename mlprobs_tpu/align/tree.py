@@ -1,0 +1,111 @@
+"""Guide trees: UPGMA cluster tree + ClustalW sequence weights.
+
+Reproduces the reference's linked-list UPGMA (MSAClusterTree.cpp:30-190)
+including scan order and tie-breaking: candidate pairs are visited in
+ascending (i, j) slot order with strict `<` comparison, linkage is plain
+average when `varianceid == 0` and leaf-count-weighted average otherwise
+(:275-276), and each join assigns both children branch length minDist/2.
+
+Sequence weights follow MSAGuideTree::getSeqsWeights
+(MSAGuideTree.cpp:272-298): leaf weight = sum of dist/order along the
+root path, quantised to int(100 * w).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class TreeNode:
+    idx: int                      # leaf: sequence index; internal: node id
+    left: "TreeNode | None" = None
+    right: "TreeNode | None" = None
+    parent: "TreeNode | None" = None
+    dist: float = 0.0             # branch length to parent
+    leaf: bool = True
+
+
+def upgma(distances: np.ndarray, variance_id: int = 1) -> TreeNode:
+    """Build the cluster tree over an (N, N) distance matrix."""
+    n = distances.shape[0]
+    if n == 1:
+        return TreeNode(idx=0)
+    d = distances.astype(np.float64).copy()
+    nodes = [TreeNode(idx=i) for i in range(n)]
+    # slot -> current cluster node, leaf count; None = removed
+    slot_node: list[TreeNode | None] = list(nodes)
+    slot_count = [1] * n
+
+    for step in range(n - 1):
+        valid = [s for s in range(n) if slot_node[s] is not None]
+        # scan pairs (si later, sj earlier) in the reference order
+        best, bi, bj = 1.1, -1, -1
+        for a in range(len(valid)):
+            si = valid[a]
+            for b in range(a):
+                sj = valid[b]
+                dist = max(d[si, sj], 0.0)
+                if dist < best:
+                    best, bi, bj = dist, si, sj
+        ni, nj = slot_node[bi], slot_node[bj]
+        parent = TreeNode(idx=n + step, leaf=False, left=ni, right=nj)
+        half = best * 0.5
+        ni.parent = nj.parent = parent
+        ni.dist = nj.dist = half
+        ci, cj = slot_count[bi], slot_count[bj]
+        # update distances to the merged cluster (stored in slot bi)
+        for s in range(n):
+            if slot_node[s] is None or s in (bi, bj):
+                continue
+            if variance_id == 0:
+                nd = (d[bi, s] + d[bj, s]) / 2.0
+            else:
+                nd = (d[bi, s] * ci + d[bj, s] * cj) / (ci + cj)
+            d[bi, s] = d[s, bi] = nd
+        slot_node[bi] = parent
+        slot_count[bi] = ci + cj
+        slot_node[bj] = None
+    root = slot_node[[s for s in range(n) if slot_node[s] is not None][0]]
+    return root
+
+
+def leaves(node: TreeNode) -> list[int]:
+    if node.leaf:
+        return [node.idx]
+    return leaves(node.left) + leaves(node.right)
+
+
+def clustalw_weights(root: TreeNode, num_seqs: int) -> np.ndarray:
+    """Integer ClustalW-style weights, int(100 * sum(dist/order))."""
+    if num_seqs == 1:
+        return np.array([100], dtype=np.int64)
+    # order = number of leaves under each node
+    order: dict[int, int] = {}
+
+    def count(node: TreeNode) -> int:
+        c = 1 if node.leaf else count(node.left) + count(node.right)
+        order[id(node)] = c
+        return c
+
+    count(root)
+    weights = np.zeros(num_seqs, dtype=np.int64)
+
+    def walk(node: TreeNode, acc_terms: list[tuple[float, int]]):
+        terms = acc_terms + [(node.dist, order[id(node)])]
+        if node.leaf:
+            w = sum(dist / o for dist, o in terms if o)
+            # reference accumulates dist/order only while parent exists;
+            # the root contributes nothing (dist 0 anyway)
+            weights[node.idx] = int(100 * w)
+        else:
+            walk(node.left, terms)
+            walk(node.right, terms)
+
+    if root.leaf:
+        weights[root.idx] = 0
+    else:
+        walk(root.left, [])
+        walk(root.right, [])
+    return weights
