@@ -19,5 +19,9 @@ the MXU; host code handles trees, traceback and orchestration.
 
 __version__ = "0.1.0"
 
+from mlprobs_tpu.utils import jaxcache as _jaxcache
+
+_jaxcache.enable()
+
 from mlprobs_tpu.core.fasta import read_fasta, write_fasta  # noqa: F401
 from mlprobs_tpu.core.msa import MSA  # noqa: F401

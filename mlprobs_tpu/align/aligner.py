@@ -1,0 +1,226 @@
+"""Family aligner: the TPU-native equivalent of the reference aligners.
+
+`align_family(..., config="pnp")` reproduces the progressive path of
+baseMSA/C_P_NP_Aln (pdoAlign, MSA.cpp:895-1081): model-adaptation test,
+identity-dependent posterior model mixing, UPGMA guide tree, two rounds
+of consistency, weighted profile-profile progressive merge and adaptive
+iterative refinement.
+
+`config="quickprobs"` is the realignment aligner used for column blocks
+(the role QuickProbs plays in the reference): same machinery with the
+QuickProbs-style posterior (RMS of 5-state HMM + partition function,
+PosteriorStage.cpp:123-196) and a fixed small refinement budget.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from mlprobs_tpu.align import consistency as cons
+from mlprobs_tpu.align import pairwise, progressive
+from mlprobs_tpu.align import tree as treelib
+from mlprobs_tpu.align.traceback import viterbi_traceback
+from mlprobs_tpu.core.msa import MSA
+from mlprobs_tpu.models import params as mp
+from mlprobs_tpu.utils.crand import GlibcRand
+
+
+@dataclass
+class FamilyStats:
+    """All-pairs Viterbi statistics (ModelAdjustmentTest)."""
+
+    avg_pid: float
+    sd_pid: float
+    pid_class: int
+    variance_bit: int
+    num_seqs: int
+    # feature-pass extras (Alter_ModelAdjustmentTest)
+    avg_len: int = 0
+    avg_sp: float = 0.0
+    peak_ratio: float = 0.0
+    factor: float = 0.0
+
+
+def family_viterbi_stats(
+    seqs: list[np.ndarray], with_features: bool = False
+) -> FamilyStats:
+    """All-pairs local Viterbi PID statistics.
+
+    With `with_features`, also aggregates the `-G` feature-pass numbers
+    (MSA.cpp:646-762): mean per-column BLOSUM profile over pairwise
+    alignments, average SP over all alignment columns, peak-length ratio
+    (theta = 1.0) and factor = 2N - avg_alignment_len.
+    """
+    n = len(seqs)
+    npairs = n * (n - 1) // 2
+    bl = np.asarray(mp.blosum62(), dtype=np.float64)
+    pids = []
+    total_len = 0
+    max_len = 0
+    col_acc: np.ndarray | None = None
+    sp_sum, sp_cols = 0.0, 0
+    for (i, j), dirs, end in pairwise.all_pairs_viterbi(seqs):
+        path = viterbi_traceback(dirs, end, len(seqs[i]), len(seqs[j]))
+        plen = len(path)
+        total_len += plen
+        max_len = max(max_len, plen)
+        a = seqs[i][np.cumsum(path != 2) - 1]
+        b = seqs[j][np.cumsum(path != 1) - 1]
+        is_b = path == 0
+        matches = int(((a == b) & is_b).sum())
+        pids.append(matches / plen)
+        if with_features:
+            if col_acc is None or plen > len(col_acc):
+                grown = np.zeros(max(plen, 0 if col_acc is None
+                                     else len(col_acc)))
+                if col_acc is not None:
+                    grown[: len(col_acc)] = col_acc
+                col_acc = grown
+            scores = np.where(
+                is_b & (a < 20) & (b < 20), bl[a, b], 0.0
+            )
+            # reference drops scores >= 10 from both accumulators
+            scores = np.where(scores < 10, scores, 0.0)
+            col_acc[:plen] += scores
+            sp_sum += float(scores.sum())
+            sp_cols += plen
+    pids = np.asarray(pids)
+    avg = float(pids.mean())
+    sd = float(np.sqrt(((pids - avg) ** 2).mean()))
+    st = FamilyStats(
+        avg_pid=avg,
+        sd_pid=sd,
+        pid_class=mp.pid_class(avg),
+        variance_bit=mp.variance_bit(sd),
+        num_seqs=n,
+    )
+    if with_features:
+        st.avg_len = total_len // npairs
+        st.avg_sp = sp_sum / sp_cols if sp_cols else 0.0
+        profile = col_acc[:max_len] / npairs
+        st.peak_ratio = float((profile >= 1.0).sum()) / max_len
+        st.factor = 2.0 * n - st.avg_len
+    return st
+
+
+_MODE_BY_PID = {0: "mix", 1: "mix", 2: "local", 3: "partition",
+                4: "partition"}
+
+
+def posterior_stage(
+    seqs: list[np.ndarray], mode: str, leave_prob: float | None
+) -> tuple[dict, np.ndarray]:
+    """All-pairs sparse posteriors + expected-accuracy distance matrix."""
+    n = len(seqs)
+    posts: dict = {}
+    dist = np.zeros((n, n))
+    for (i, j), post_csr, score in pairwise.all_pairs_posteriors(
+        seqs, mode=mode, leave_prob=leave_prob
+    ):
+        posts[(i, j)] = post_csr
+        d = 1.0 - score / min(len(seqs[i]), len(seqs[j]))
+        dist[i, j] = dist[j, i] = d
+    return posts, dist
+
+
+def align_family(
+    records: list[tuple[str, str]],
+    config: str = "pnp",
+    stats: FamilyStats | None = None,
+    strategy: int = 0,
+) -> MSA:
+    """Align one family of unaligned sequences; returns the final MSA.
+
+    `strategy` 0 selects the progressive path; 1 selects the
+    non-progressive alignment-graph path (npdoAlign).  The NP
+    construction falls back to progressive until align/graph.py lands.
+    """
+    msa = MSA.from_unaligned(records)
+    seqs = [np.asarray(s[s >= 0]) for s in msa.rows]
+    n = len(seqs)
+    if n == 1:
+        return msa
+    rng = GlibcRand(1)
+
+    if config == "pnp":
+        if stats is None:
+            stats = family_viterbi_stats(seqs)
+        pid = stats.pid_class
+        vbit = stats.variance_bit
+        leave = mp.adaptive_leave_prob(stats.avg_pid)
+        mode = _MODE_BY_PID[pid]
+        base_reps = 100
+    elif config == "quickprobs":
+        pid = 0
+        vbit = 1
+        leave = None
+        mode = "qp"
+        base_reps = 30
+    else:
+        raise ValueError(config)
+
+    if mode == "qp":
+        posts, dist = posterior_stage_qp(seqs)
+    else:
+        posts, dist = posterior_stage(seqs, mode, leave)
+    root = treelib.upgma(dist, variance_id=vbit)
+    lengths = [len(s) for s in seqs]
+    posts = cons.relax_sparse(posts, lengths, reps=2)
+    out = progressive.compute_final_alignment(
+        root, msa, posts, pid=pid, rng=rng, base_reps=base_reps
+    )
+    return out
+
+
+def posterior_stage_qp(seqs: list[np.ndarray]) -> tuple[dict, np.ndarray]:
+    """QuickProbs-style posterior: RMS of 5-state HMM and partition
+    function posteriors (PosteriorStage.cpp:156-196)."""
+    import jax.numpy as jnp
+    import jax
+
+    from mlprobs_tpu.ops import mwt as mwt_ops
+    from mlprobs_tpu.ops import pairhmm, partition
+
+    p5 = pairwise.hmm5_dict()
+    pp = pairwise.partition_dict()
+
+    def one(x, y, lx, ly, p5_, pp_):
+        v1 = pairhmm.hmm5_posterior(x, y, lx, ly, p5_)
+        v2 = partition.partition_posterior(x, y, lx, ly, pp_)
+        post = jnp.sqrt((v1 * v1 + v2 * v2) / 2.0)
+        _, score = mwt_ops.mwt_align(post, lx, ly)
+        vals, idx = pairwise._row_topk(post)
+        return vals, idx, score
+
+    fn = _qp_fn(one)
+    n = len(seqs)
+    pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
+    posts: dict = {}
+    dist = np.zeros((n, n))
+    for chunk, X, Y, LX, LY in pairwise.iter_pair_batches(seqs, pairs):
+        vals, idx, score = fn(jnp.asarray(X), jnp.asarray(Y),
+                              jnp.asarray(LX), jnp.asarray(LY), p5, pp)
+        vals = np.asarray(vals)
+        idx = np.asarray(idx)
+        score = np.asarray(score)
+        for k, (i, j) in enumerate(chunk):
+            li, lj = len(seqs[i]), len(seqs[j])
+            posts[(i, j)] = pairwise.topk_to_csr(vals[k], idx[k], li, lj)
+            d = 1.0 - float(score[k]) / min(li, lj)
+            dist[i, j] = dist[j, i] = d
+    return posts, dist
+
+
+_QP_CACHE: dict = {}
+
+
+def _qp_fn(one):
+    import jax
+
+    key = "qp"
+    if key not in _QP_CACHE:
+        _QP_CACHE[key] = jax.jit(
+            jax.vmap(one, in_axes=(0, 0, 0, 0, None, None))
+        )
+    return _QP_CACHE[key]

@@ -24,17 +24,23 @@ import numpy as np
 from mlprobs_tpu.models import params as mp
 from mlprobs_tpu.ops import mwt, pairhmm, partition, viterbi
 
-LEN_BUCKET = 64          # pad lengths to multiples of this (compile reuse)
-MAX_BATCH_ELEMS = 2**26  # cap on batch * Lp^2 posterior elements
+LEN_BUCKET = 128         # pad lengths to multiples of this (compile reuse)
+MAX_BATCH_ELEMS = 2**25  # cap on batch * Lp^2 posterior elements
+TOPK = 16                # sparse entries kept per posterior row on device
+CUTOFF = 0.01            # SparseMatrix.h:14
 
 
 def _bucket_len(n: int) -> int:
     return max(LEN_BUCKET, -(-n // LEN_BUCKET) * LEN_BUCKET)
 
 
-def _batch_size(lp: int) -> int:
-    b = max(1, MAX_BATCH_ELEMS // (lp * lp))
-    return 1 << (b.bit_length() - 1)  # round down to a power of two
+def _batch_size(lp: int, num_pairs: int = 0) -> int:
+    """Batch depends only on the length bucket so compile shapes stay few."""
+    cap = max(1, MAX_BATCH_ELEMS // (lp * lp))
+    cap = 1 << (cap.bit_length() - 1)      # round down to a power of two
+    if lp > 1024:
+        return max(1, min(cap, 256))       # huge pairs: tiny batches
+    return max(8, min(cap, 256))
 
 
 def hmm5_dict():
@@ -81,13 +87,25 @@ def _pair_posterior(x, y, lx, ly, p5, pl, pp, mode):
     raise ValueError(mode)
 
 
+def _row_topk(post):
+    """Threshold at CUTOFF then keep the TOPK largest entries per row.
+
+    Mirrors the reference's sparse representation (cutoff 0.01,
+    SparseMatrix.h) with QuickProbs' bounded sparse row length
+    (PackedSparseMatrix::setSparseRowThreshold).  Returns (vals, idx).
+    """
+    masked = jnp.where(post >= CUTOFF, post, 0.0)
+    vals, idx = jax.lax.top_k(masked, TOPK)
+    return vals, idx.astype(jnp.int32)
+
+
 @functools.lru_cache(maxsize=64)
 def _posterior_fn(mode: str):
     def one(x, y, lx, ly, p5, pl, pp):
         post = _pair_posterior(x, y, lx, ly, p5, pl, pp, mode)
-        dirs, score = mwt.mwt_align(post, lx, ly)
-        del dirs
-        return post, score
+        _, score = mwt.mwt_align(post, lx, ly)
+        vals, idx = _row_topk(post)
+        return vals, idx, score
 
     return jax.jit(
         jax.vmap(one, in_axes=(0, 0, 0, 0, None, None, None))
@@ -116,7 +134,7 @@ def iter_pair_batches(
     if not pairs:
         return
     lp = _bucket_len(max(len(s) for s in seqs))
-    bs = _batch_size(lp)
+    bs = _batch_size(lp, len(pairs))
     padded = [_pad_to(s, lp) for s in seqs]
     lens = [len(s) for s in seqs]
     for start in range(0, len(pairs), bs):
@@ -133,28 +151,45 @@ def iter_pair_batches(
         yield chunk, X, Y, LX, LY
 
 
+def topk_to_csr(vals: np.ndarray, idx: np.ndarray, li: int, lj: int):
+    """Host-side CSR reconstruction of a device top-k sparse posterior."""
+    import scipy.sparse as sp
+
+    vals = vals[:li]
+    idx = idx[:li]
+    keep = vals > 0.0
+    rows = np.repeat(np.arange(li), keep.sum(axis=1))
+    cols = idx[keep]
+    data = vals[keep]
+    in_range = cols < lj
+    return sp.csr_matrix(
+        (data[in_range], (rows[in_range], cols[in_range])), shape=(li, lj)
+    )
+
+
 def all_pairs_posteriors(
     seqs: Sequence[np.ndarray],
     mode: str,
     leave_prob: float | None = None,
     pairs: Sequence[tuple[int, int]] | None = None,
-) -> Iterator[tuple[tuple[int, int], np.ndarray, float]]:
-    """Yield ((i, j), posterior (li, lj) float32, mwt_score) per pair."""
+) -> Iterator[tuple[tuple[int, int], object, float]]:
+    """Yield ((i, j), sparse posterior csr (li, lj), mwt_score) per pair."""
     n = len(seqs)
     if pairs is None:
         pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
     p5, pl, pp = hmm5_dict(), local_dict(leave_prob), partition_dict()
     fn = _posterior_fn(mode)
     for chunk, X, Y, LX, LY in iter_pair_batches(seqs, pairs):
-        post, score = fn(
+        vals, idx, score = fn(
             jnp.asarray(X), jnp.asarray(Y), jnp.asarray(LX),
             jnp.asarray(LY), p5, pl, pp
         )
-        post = np.asarray(post)
+        vals = np.asarray(vals)
+        idx = np.asarray(idx)
         score = np.asarray(score)
         for k, (i, j) in enumerate(chunk):
             li, lj = len(seqs[i]), len(seqs[j])
-            yield (i, j), post[k, :li, :lj], float(score[k])
+            yield (i, j), topk_to_csr(vals[k], idx[k], li, lj), float(score[k])
 
 
 def all_pairs_viterbi(

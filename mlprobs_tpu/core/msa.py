@@ -48,6 +48,26 @@ class MSA:
         )
 
     @classmethod
+    def from_unaligned(cls, records: list[tuple[str, str]]) -> "MSA":
+        """Build from unaligned sequences, right-padding rows with gaps.
+
+        project([i]) recovers each ungapped sequence, so the container
+        doubles as the leaf store for progressive alignment.
+        """
+        if not records:
+            return cls.from_records(records)
+        enc = [alphabet.encode(s) for _, s in records]
+        width = max(len(e) for e in enc)
+        rows = np.full((len(enc), width), -1, dtype=np.int8)
+        for i, e in enumerate(enc):
+            rows[i, : len(e)] = e
+        return cls(
+            headers=[h for h, _ in records],
+            rows=rows,
+            labels=np.arange(len(records), dtype=np.int32),
+        )
+
+    @classmethod
     def from_text(cls, text: str) -> "MSA":
         return cls.from_records(parse_fasta(text))
 

@@ -1,0 +1,101 @@
+"""Command-line interface.
+
+    python -m mlprobs_tpu.pipeline.cli align <in.fasta> <out.msa> [-v]
+    python -m mlprobs_tpu.pipeline.cli base  <in.fasta> <out.msa> [--config pnp|quickprobs]
+    python -m mlprobs_tpu.pipeline.cli bench <suite-dir> [--out DIR] [--limit N]
+
+`align` runs the full MLProbs pipeline (the MLProbs.py role); `base`
+runs just the family aligner (the c_p_np_aln / quickprobs role);
+`bench` runs a whole suite directory like script.py.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+
+def _cmd_align(args) -> int:
+    from mlprobs_tpu.core.fasta import read_fasta, write_fasta
+    from mlprobs_tpu.pipeline.driver import run_pipeline
+
+    records = read_fasta(args.input)
+    t0 = time.time()
+    out, rep = run_pipeline(records, verbose=args.verbose)
+    dt = time.time() - t0
+    write_fasta(args.output, out.to_records(), width=0)
+    if args.verbose:
+        print(f"[ELAPSED TIME] Total Running time: {dt:.3f} sec.")
+        print(json.dumps(rep.timings, default=float))
+    return 0
+
+
+def _cmd_base(args) -> int:
+    from mlprobs_tpu.align.aligner import align_family
+    from mlprobs_tpu.core.fasta import read_fasta, write_fasta
+
+    records = read_fasta(args.input)
+    out = align_family(records, config=args.config)
+    write_fasta(args.output, out.to_records())
+    return 0
+
+
+def _cmd_bench(args) -> int:
+    from mlprobs_tpu.core.fasta import read_fasta, write_fasta
+    from mlprobs_tpu.pipeline.driver import run_pipeline
+
+    suite = Path(args.suite)
+    indir = suite / "in" if (suite / "in").is_dir() else suite
+    files = sorted(indir.iterdir())
+    if args.limit:
+        files = files[: args.limit]
+    outdir = Path(args.out) if args.out else None
+    if outdir:
+        outdir.mkdir(parents=True, exist_ok=True)
+    times = []
+    for f in files:
+        t0 = time.time()
+        out, rep = run_pipeline(read_fasta(f))
+        dt = time.time() - t0
+        times.append(dt)
+        if outdir:
+            write_fasta(outdir / f.name, out.to_records(), width=0)
+        print(f"{f.name}: {dt:.2f}s n={rep.num_seqs} "
+              f"strat={rep.strategy} mode={rep.realign_mode}")
+    if times:
+        print(f"mean sec/family: {sum(times) / len(times):.3f} "
+              f"({len(times)} families)")
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="mlprobs")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    a = sub.add_parser("align", help="full MLProbs pipeline")
+    a.add_argument("input")
+    a.add_argument("output")
+    a.add_argument("-v", "--verbose", action="store_true")
+    a.set_defaults(fn=_cmd_align)
+
+    b = sub.add_parser("base", help="family aligner only")
+    b.add_argument("input")
+    b.add_argument("output")
+    b.add_argument("--config", default="pnp",
+                   choices=["pnp", "quickprobs"])
+    b.set_defaults(fn=_cmd_base)
+
+    c = sub.add_parser("bench", help="run a benchmark suite")
+    c.add_argument("suite")
+    c.add_argument("--out", default=None)
+    c.add_argument("--limit", type=int, default=0)
+    c.set_defaults(fn=_cmd_bench)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

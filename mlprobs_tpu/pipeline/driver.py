@@ -1,0 +1,142 @@
+"""The MLProbs pipeline driver.
+
+TPU-native equivalent of MLProbs.py: feature extraction -> classifier 1
+(P/NP strategy) -> base MSA -> column scores -> classifier 3 (RCR/RIR)
+-> [classifier 2 (min region length)] -> region segmentation -> selective
+block realignment with acceptance -> recombination, with the reference's
+stage-fallback semantics (any stage failure degrades to a whole-family
+QuickProbs-role alignment, cf. MLProbs.py:84-99).
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from mlprobs_tpu.align.aligner import align_family, family_viterbi_stats
+from mlprobs_tpu.core.msa import MSA
+from mlprobs_tpu.models import forests
+from mlprobs_tpu.ops.colscore import column_scores
+from mlprobs_tpu.pipeline import regions as reg
+from mlprobs_tpu.pipeline.realign import realign_and_combine
+
+SIGMA = 1.2       # MLProbs.py:24
+BETA = 0.0        # MLProbs.py:25
+THRESHOLD = 2.0   # MLProbs.py:26
+
+
+@dataclass
+class PipelineReport:
+    """Stage decisions and timings for observability."""
+
+    num_seqs: int = 0
+    avg_pid: float = 0.0
+    sd_pid: float = 0.0
+    factor: float = 0.0
+    strategy: int = 0          # classifier 1: 0=P, 1=NP
+    realign_mode: int = 1      # classifier 3: 0=RCR, 1=RIR
+    min_length_class: int = 3  # classifier 2
+    num_realign_blocks: int = 0
+    fallback: bool = False
+    timings: dict = field(default_factory=dict)
+
+
+def run_pipeline(
+    records: list[tuple[str, str]], verbose: bool = False
+) -> tuple[MSA, PipelineReport]:
+    """Run the full MLProbs pipeline on one family."""
+    rep = PipelineReport(num_seqs=len(records))
+    log = print if verbose else (lambda *a, **k: None)
+    t0 = time.time()
+
+    def mark(name):
+        rep.timings[name] = time.time() - t0
+
+    if len(records) <= 1:
+        return MSA.from_records(records), rep
+
+    seqs_only = [s for _, s in records]
+    try:
+        # ---- classifier-1 features (the -G pass) -----------------------
+        import mlprobs_tpu.core.alphabet as alpha
+
+        enc = [alpha.degap(alpha.encode(s)) for s in seqs_only]
+        stats = family_viterbi_stats(enc, with_features=True)
+        rep.avg_pid, rep.sd_pid = stats.avg_pid, stats.sd_pid
+        rep.factor = stats.factor
+        mark("features")
+        log(f"[MAIN STEP] features: pid={stats.avg_pid:.3f} "
+            f"sd={stats.sd_pid:.3f} factor={stats.factor}")
+
+        # ---- classifier 1: strategy ------------------------------------
+        strategy = forests.classify_strategy(
+            stats.avg_pid, stats.num_seqs, stats.avg_len,
+            stats.avg_sp, stats.peak_ratio,
+        )
+        rep.strategy = strategy
+        mark("classifier1")
+        log(f"[MAIN STEP] strategy: "
+            f"{'non-progressive' if strategy else 'progressive'}")
+
+        # ---- base MSA --------------------------------------------------
+        base = align_family(
+            records, config="pnp", stats=stats, strategy=strategy
+        )
+        base = base.sort_by_header()
+        mark("base_msa")
+
+        # ---- column scores + classifier 3 ------------------------------
+        col = column_scores(base.rows)
+        un_sp = float(col.mean()) if col.size else 0.0
+        sd_un_sp = (
+            float(np.sqrt(((col - un_sp) ** 2).mean())) if col.size else 0.0
+        )
+        peak = float((col >= 1.0).mean()) if col.size else 0.0
+        realign_mode = forests.classify_realign_strategy(
+            peak, stats.avg_pid, sd_un_sp, un_sp
+        )
+        rep.realign_mode = realign_mode
+        mark("classifier3")
+        log(f"[MAIN STEP] {'RIR' if realign_mode else 'RCR'} selected")
+
+        # ---- segmentation ----------------------------------------------
+        if realign_mode == 1:
+            class_lens = forests.classify_region_min_length(
+                base.length, base.num_seqs, stats.avg_pid,
+                stats.sd_pid, un_sp,
+            )
+            rep.min_length_class = int(class_lens)
+            found = reg.find_unreliable_regions(
+                list(col), SIGMA, BETA, class_lens
+            )
+        else:
+            found = reg.find_reliable_regions(list(col), THRESHOLD, 0)
+        blocks = reg.partition_columns(found, base.length)
+        rep.num_realign_blocks = sum(b.realign for b in blocks)
+        mark("segmentation")
+
+        # ---- realign + recombine ---------------------------------------
+        do_blocks = realign_mode == 1 or stats.factor > 0
+        if realign_mode == 0 and stats.factor <= 0:
+            # RCR with non-positive factor: realign the whole family
+            # (do_realign.py ExceptionHandling)
+            out = align_family(records, config="quickprobs")
+            out = out.sort_by_header()
+            rep.fallback = True
+        else:
+            out = realign_and_combine(base, blocks, do_blocks)
+        mark("realign")
+    except Exception:
+        if verbose:
+            raise
+        # stage failure: degrade to whole-family QuickProbs-role alignment
+        out = align_family(records, config="quickprobs").sort_by_header()
+        rep.fallback = True
+        mark("fallback")
+
+    if out.num_seqs == 0 or out.length == 0:
+        out = align_family(records, config="quickprobs").sort_by_header()
+        rep.fallback = True
+    mark("total")
+    return out, rep
