@@ -160,12 +160,31 @@ def align_family(
     else:
         raise ValueError(config)
 
-    if mode == "qp":
-        posts, dist = posterior_stage_qp(seqs)
-    else:
-        posts, dist = posterior_stage(seqs, mode, leave)
-    root = treelib.upgma(dist, variance_id=vbit)
     lengths = [len(s) for s in seqs]
+    if config == "pnp" and strategy == 1:
+        # non-progressive path (npdoAlign): alignment graph + k-means
+        # similar-set refinement; distances are similarities
+        # score / #matches (MSA.cpp:1745-1752)
+        from mlprobs_tpu.align.graph import graph_align
+        from mlprobs_tpu.align.refine_np import np_refinement
+
+        np_mode = {0: "mix", 1: "mix", 2: "local"}.get(pid, "partition")
+        posts = {}
+        dist = np.zeros((n, n))
+        for (i, j), csr, score, nb in pairwise.all_pairs_posteriors(
+            seqs, mode=np_mode, leave_prob=leave, with_matches=True
+        ):
+            posts[(i, j)] = csr
+            s = score / nb if nb else 0.0
+            dist[i, j] = dist[j, i] = s
+        posts = cons.relax_sparse(posts, lengths, reps=2)
+        out = graph_align(msa, posts, seqs)
+        out = np_refinement(out, posts, dist, GlibcRand(12345),
+                            base_reps=100)
+        return out
+
+    posts, dist = posterior_stage(seqs, mode, leave)
+    root = treelib.upgma(dist, variance_id=vbit)
     posts = cons.relax_sparse(posts, lengths, reps=2)
     out = progressive.compute_final_alignment(
         root, msa, posts, pid=pid, rng=rng, base_reps=base_reps
@@ -173,54 +192,3 @@ def align_family(
     return out
 
 
-def posterior_stage_qp(seqs: list[np.ndarray]) -> tuple[dict, np.ndarray]:
-    """QuickProbs-style posterior: RMS of 5-state HMM and partition
-    function posteriors (PosteriorStage.cpp:156-196)."""
-    import jax.numpy as jnp
-    import jax
-
-    from mlprobs_tpu.ops import mwt as mwt_ops
-    from mlprobs_tpu.ops import pairhmm, partition
-
-    p5 = pairwise.hmm5_dict()
-    pp = pairwise.partition_dict()
-
-    def one(x, y, lx, ly, p5_, pp_):
-        v1 = pairhmm.hmm5_posterior(x, y, lx, ly, p5_)
-        v2 = partition.partition_posterior(x, y, lx, ly, pp_)
-        post = jnp.sqrt((v1 * v1 + v2 * v2) / 2.0)
-        _, score = mwt_ops.mwt_align(post, lx, ly)
-        vals, idx = pairwise._row_topk(post)
-        return vals, idx, score
-
-    fn = _qp_fn(one)
-    n = len(seqs)
-    pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
-    posts: dict = {}
-    dist = np.zeros((n, n))
-    for chunk, X, Y, LX, LY in pairwise.iter_pair_batches(seqs, pairs):
-        vals, idx, score = fn(jnp.asarray(X), jnp.asarray(Y),
-                              jnp.asarray(LX), jnp.asarray(LY), p5, pp)
-        vals = np.asarray(vals)
-        idx = np.asarray(idx)
-        score = np.asarray(score)
-        for k, (i, j) in enumerate(chunk):
-            li, lj = len(seqs[i]), len(seqs[j])
-            posts[(i, j)] = pairwise.topk_to_csr(vals[k], idx[k], li, lj)
-            d = 1.0 - float(score[k]) / min(li, lj)
-            dist[i, j] = dist[j, i] = d
-    return posts, dist
-
-
-_QP_CACHE: dict = {}
-
-
-def _qp_fn(one):
-    import jax
-
-    key = "qp"
-    if key not in _QP_CACHE:
-        _QP_CACHE[key] = jax.jit(
-            jax.vmap(one, in_axes=(0, 0, 0, 0, None, None))
-        )
-    return _QP_CACHE[key]

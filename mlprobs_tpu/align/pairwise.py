@@ -72,21 +72,6 @@ def partition_dict():
     }
 
 
-def _pair_posterior(x, y, lx, ly, p5, pl, pp, mode):
-    if mode == "mix":
-        v1 = pairhmm.hmm5_posterior(x, y, lx, ly, p5)
-        v2 = partition.partition_posterior(x, y, lx, ly, pp)
-        v3 = pairhmm.local_posterior(x, y, lx, ly, pl)
-        return jnp.sqrt((v1 * v1 + v2 * v2 + v3 * v3) / 3.0)
-    if mode == "local":
-        return pairhmm.local_posterior(x, y, lx, ly, pl)
-    if mode == "partition":
-        return partition.partition_posterior(x, y, lx, ly, pp)
-    if mode == "hmm5":
-        return pairhmm.hmm5_posterior(x, y, lx, ly, p5)
-    raise ValueError(mode)
-
-
 def _row_topk(post):
     """Threshold at CUTOFF then keep the TOPK largest entries per row.
 
@@ -99,17 +84,66 @@ def _row_topk(post):
     return vals, idx.astype(jnp.int32)
 
 
-@functools.lru_cache(maxsize=64)
-def _posterior_fn(mode: str):
-    def one(x, y, lx, ly, p5, pl, pp):
-        post = _pair_posterior(x, y, lx, ly, p5, pl, pp, mode)
-        _, score = mwt.mwt_align(post, lx, ly)
+# Each stage compiles separately and composes on-device (arrays never
+# leave HBM between calls): keeps every XLA program medium-sized — a
+# fused all-models program takes minutes to compile — and lets the
+# single-model programs be shared across modes.
+
+
+@functools.lru_cache(maxsize=8)
+def _model_fn(model: str):
+    inner = {
+        "hmm5": pairhmm.hmm5_posterior,
+        "local": pairhmm.local_posterior,
+        "partition": partition.partition_posterior,
+    }[model]
+
+    def one(x, y, lx, ly, p):
+        return inner(x, y, lx, ly, p)
+
+    return jax.jit(jax.vmap(one, in_axes=(0, 0, 0, 0, None)))
+
+
+@functools.lru_cache(maxsize=8)
+def _finalize_fn(num_models: int, with_matches: bool):
+    def one(posts, lx, ly):
+        if num_models == 1:
+            post = posts[0]
+        else:
+            acc = sum(p * p for p in posts)
+            post = jnp.sqrt(acc / num_models)
+        dirs, score = mwt.mwt_align(post, lx, ly)
         vals, idx = _row_topk(post)
+        if with_matches:
+            nb = mwt.count_matches(dirs, lx, ly)
+            return vals, idx, score, nb
         return vals, idx, score
 
-    return jax.jit(
-        jax.vmap(one, in_axes=(0, 0, 0, 0, None, None, None))
-    )
+    return jax.jit(jax.vmap(one, in_axes=(0, 0, 0)))
+
+
+_MODE_MODELS = {
+    "mix": ("hmm5", "partition", "local"),
+    "qp": ("hmm5", "partition"),
+    "hmm5": ("hmm5",),
+    "local": ("local",),
+    "partition": ("partition",),
+}
+
+
+def _posterior_fn(mode: str, with_matches: bool = False):
+    models = _MODE_MODELS[mode]
+
+    def run(X, Y, LX, LY, p5, pl, pp):
+        params = {"hmm5": p5, "local": pl, "partition": pp}
+        posts = [
+            _model_fn(m)(X, Y, LX, LY, params[m]) for m in models
+        ]
+        return _finalize_fn(len(models), with_matches)(
+            tuple(posts), LX, LY
+        )
+
+    return run
 
 
 @functools.lru_cache(maxsize=8)
@@ -172,24 +206,29 @@ def all_pairs_posteriors(
     mode: str,
     leave_prob: float | None = None,
     pairs: Sequence[tuple[int, int]] | None = None,
-) -> Iterator[tuple[tuple[int, int], object, float]]:
-    """Yield ((i, j), sparse posterior csr (li, lj), mwt_score) per pair."""
+    with_matches: bool = False,
+) -> Iterator[tuple]:
+    """Yield ((i, j), sparse posterior csr (li, lj), mwt_score[, n_matches])
+    per pair."""
     n = len(seqs)
     if pairs is None:
         pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
     p5, pl, pp = hmm5_dict(), local_dict(leave_prob), partition_dict()
-    fn = _posterior_fn(mode)
+    fn = _posterior_fn(mode, with_matches)
     for chunk, X, Y, LX, LY in iter_pair_batches(seqs, pairs):
-        vals, idx, score = fn(
+        out = fn(
             jnp.asarray(X), jnp.asarray(Y), jnp.asarray(LX),
             jnp.asarray(LY), p5, pl, pp
         )
-        vals = np.asarray(vals)
-        idx = np.asarray(idx)
-        score = np.asarray(score)
+        out = [np.asarray(o) for o in out]
+        vals, idx, score = out[:3]
         for k, (i, j) in enumerate(chunk):
             li, lj = len(seqs[i]), len(seqs[j])
-            yield (i, j), topk_to_csr(vals[k], idx[k], li, lj), float(score[k])
+            csr = topk_to_csr(vals[k], idx[k], li, lj)
+            if with_matches:
+                yield (i, j), csr, float(score[k]), int(out[3][k])
+            else:
+                yield (i, j), csr, float(score[k])
 
 
 def all_pairs_viterbi(

@@ -56,3 +56,28 @@ def mwt_align(post, lx, ly):
     dirs = jnp.concatenate([dirs0[None, :], dir_rows], axis=0)
     scores = jnp.concatenate([jnp.zeros(1), scores])
     return dirs, scores[lx]
+
+
+def count_matches(dirs, lx, ly):
+    """Number of diagonal ('B') moves on the traceback from (lx, ly).
+
+    Device-side traceback via lax.while_loop — used by the
+    non-progressive path's distance = score / #matches
+    (MSA.cpp:1745-1752) without hauling the direction matrix to host.
+    """
+
+    def cond(state):
+        r, c, _ = state
+        return (r > 0) | (c > 0)
+
+    def body(state):
+        r, c, nb = state
+        d = dirs[r, c]
+        r2 = jnp.where(d == 1, r, r - 1)
+        c2 = jnp.where(d == 2, c, c - 1)
+        return r2, c2, nb + jnp.where(d == 0, 1, 0)
+
+    _, _, nb = jax.lax.while_loop(
+        cond, body, (lx, ly, jnp.int32(0))
+    )
+    return nb
