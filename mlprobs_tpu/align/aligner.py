@@ -52,40 +52,63 @@ def family_viterbi_stats(
     alignments, average SP over all alignment columns, peak-length ratio
     (theta = 1.0) and factor = 2N - avg_alignment_len.
     """
+    import jax.numpy as jnp
+
+    from mlprobs_tpu.utils import native
+
     n = len(seqs)
     npairs = n * (n - 1) // 2
     bl = np.asarray(mp.blosum62(), dtype=np.float64)
-    pids = []
+    pair_list = [(i, j) for i in range(n) for j in range(i + 1, n)]
+    pl = pairwise.local_dict()
+    vfn = pairwise._viterbi_fn()
+    pids_all: list[np.ndarray] = []
     total_len = 0
     max_len = 0
-    col_acc: np.ndarray | None = None
-    sp_sum, sp_cols = 0.0, 0
-    for (i, j), dirs, end in pairwise.all_pairs_viterbi(seqs):
-        path = viterbi_traceback(dirs, end, len(seqs[i]), len(seqs[j]))
-        plen = len(path)
-        total_len += plen
-        max_len = max(max_len, plen)
-        a = seqs[i][np.cumsum(path != 2) - 1]
-        b = seqs[j][np.cumsum(path != 1) - 1]
-        is_b = path == 0
-        matches = int(((a == b) & is_b).sum())
-        pids.append(matches / plen)
-        if with_features:
-            if col_acc is None or plen > len(col_acc):
-                grown = np.zeros(max(plen, 0 if col_acc is None
-                                     else len(col_acc)))
-                if col_acc is not None:
-                    grown[: len(col_acc)] = col_acc
-                col_acc = grown
-            scores = np.where(
-                is_b & (a < 20) & (b < 20), bl[a, b], 0.0
-            )
-            # reference drops scores >= 10 from both accumulators
-            scores = np.where(scores < 10, scores, 0.0)
-            col_acc[:plen] += scores
-            sp_sum += float(scores.sum())
-            sp_cols += plen
-    pids = np.asarray(pids)
+    cap = 2 * max(len(s) for s in seqs) + 2
+    col_acc = np.zeros(cap, dtype=np.float64)
+    sp_sum, sp_cols = 0.0, 0.0
+    for chunk, X, Y, LX, LY in pairwise.iter_pair_batches(seqs, pair_list):
+        dirs, ends, _ = vfn(jnp.asarray(X), jnp.asarray(Y),
+                            jnp.asarray(LX), jnp.asarray(LY), pl)
+        nb = len(chunk)
+        dirs = np.asarray(dirs)[:nb]
+        ends = np.asarray(ends)[:nb]
+        res = native.viterbi_features_batch(
+            dirs, ends,
+            [seqs[i] for i, _ in chunk], [seqs[j] for _, j in chunk],
+            np.asarray([len(seqs[i]) for i, _ in chunk], np.int32),
+            np.asarray([len(seqs[j]) for _, j in chunk], np.int32),
+            bl, col_acc,
+        )
+        if res is not None:
+            p, lens, ml, ss, sc = res
+            pids_all.append(p)
+            total_len += int(lens.sum())
+            max_len = max(max_len, ml)
+            sp_sum += ss
+            sp_cols += sc
+        else:  # pure-python fallback
+            for k, (i, j) in enumerate(chunk):
+                path = viterbi_traceback(
+                    dirs[k], int(ends[k]), len(seqs[i]), len(seqs[j])
+                )
+                plen = len(path)
+                total_len += plen
+                max_len = max(max_len, plen)
+                a = seqs[i][np.cumsum(path != 2) - 1]
+                b = seqs[j][np.cumsum(path != 1) - 1]
+                is_b = path == 0
+                matches = int(((a == b) & is_b).sum())
+                pids_all.append(np.array([matches / plen]))
+                scores = np.where(
+                    is_b & (a < 20) & (b < 20), bl[a, b], 0.0
+                )
+                scores = np.where(scores < 10, scores, 0.0)
+                col_acc[:plen] += scores
+                sp_sum += float(scores.sum())
+                sp_cols += plen
+    pids = np.concatenate(pids_all)
     avg = float(pids.mean())
     sd = float(np.sqrt(((pids - avg) ** 2).mean()))
     st = FamilyStats(
@@ -99,7 +122,9 @@ def family_viterbi_stats(
         st.avg_len = total_len // npairs
         st.avg_sp = sp_sum / sp_cols if sp_cols else 0.0
         profile = col_acc[:max_len] / npairs
-        st.peak_ratio = float((profile >= 1.0).sum()) / max_len
+        st.peak_ratio = (
+            float((profile >= 1.0).sum()) / max_len if max_len else 0.0
+        )
         st.factor = 2.0 * n - st.avg_len
     return st
 

@@ -72,6 +72,16 @@ def partition_dict():
     }
 
 
+def partition_qp_dict():
+    """QuickProbs partition model (Vtml200; Configuration.cpp:321-333)."""
+    p = mp.partition_params_qp()
+    return {
+        "lscore": jnp.asarray(p.lscore),
+        "lgap_open": jnp.asarray(p.lgap_open),
+        "lgap_ext": jnp.asarray(p.lgap_ext),
+    }
+
+
 def _row_topk(post):
     """Threshold at CUTOFF then keep the TOPK largest entries per row.
 
@@ -213,7 +223,8 @@ def all_pairs_posteriors(
     n = len(seqs)
     if pairs is None:
         pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
-    p5, pl, pp = hmm5_dict(), local_dict(leave_prob), partition_dict()
+    p5, pl = hmm5_dict(), local_dict(leave_prob)
+    pp = partition_qp_dict() if mode == "qp" else partition_dict()
     fn = _posterior_fn(mode, with_matches)
     for chunk, X, Y, LX, LY in iter_pair_batches(seqs, pairs):
         out = fn(

@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from mlprobs_tpu.utils import native
+
 B, X, Y = 0, 1, 2
 
 
@@ -16,6 +18,9 @@ def mwt_traceback(dirs: np.ndarray, lx: int, ly: int) -> np.ndarray:
 
     Returns the path as int8 codes in forward order.
     """
+    fast = native.mwt_traceback(dirs, lx, ly)
+    if fast is not None:
+        return fast
     out = []
     r, c = lx, ly
     while r != 0 or c != 0:
@@ -41,6 +46,9 @@ def viterbi_traceback(
     dirs bit layout: bits 0-1 = M predecessor state, bit 2 = X-from-X,
     bit 3 = Y-from-Y (see ops/viterbi.py).
     """
+    fast = native.viterbi_traceback(dirs, end_state, lx, ly)
+    if fast is not None:
+        return fast
     out = []
     r, c = lx, ly
     state = int(end_state)

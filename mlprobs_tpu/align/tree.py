@@ -38,17 +38,21 @@ def upgma(distances: np.ndarray, variance_id: int = 1) -> TreeNode:
     slot_node: list[TreeNode | None] = list(nodes)
     slot_count = [1] * n
 
+    big = np.float64(1.1)
     for step in range(n - 1):
-        valid = [s for s in range(n) if slot_node[s] is not None]
-        # scan pairs (si later, sj earlier) in the reference order
-        best, bi, bj = 1.1, -1, -1
-        for a in range(len(valid)):
-            si = valid[a]
-            for b in range(a):
-                sj = valid[b]
-                dist = max(d[si, sj], 0.0)
-                if dist < best:
-                    best, bi, bj = dist, si, sj
+        valid = np.array(
+            [s for s in range(n) if slot_node[s] is not None]
+        )
+        # scan pairs (si, sj<si) in ascending slot order with strict `<`:
+        # row-major argmin over the masked lower triangle reproduces the
+        # reference's first-minimum tie-break (MSAClusterTree.cpp:87-114)
+        sub = np.maximum(d[np.ix_(valid, valid)], 0.0)
+        mask = np.tril(np.ones_like(sub, dtype=bool), k=-1)
+        sub = np.where(mask, sub, big)
+        flat = int(np.argmin(sub))
+        a, b = divmod(flat, len(valid))
+        bi, bj = int(valid[a]), int(valid[b])
+        best = float(sub[a, b])
         ni, nj = slot_node[bi], slot_node[bj]
         parent = TreeNode(idx=n + step, leaf=False, left=ni, right=nj)
         half = best * 0.5

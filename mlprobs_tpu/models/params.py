@@ -190,6 +190,20 @@ def partition_params() -> PartitionParams:
 
 
 @functools.lru_cache(maxsize=1)
+def partition_params_qp() -> PartitionParams:
+    """QuickProbs partition model: Vtml200, gap -25.3549 / -1.30113,
+    T = 5.6007 (Configuration.cpp:321-333)."""
+    p = raw_params()
+    beta = 1.0 / 5.6007
+    return PartitionParams(
+        lscore=(beta * p["vtml200"]).astype(np.float32),
+        lgap_open=np.float32(beta * -25.3549),
+        lgap_ext=np.float32(beta * -1.30113),
+        lterm_gap=np.float32(0.0),
+    )
+
+
+@functools.lru_cache(maxsize=1)
 def blosum62() -> np.ndarray:
     """BLOSUM62 over 21 classes; unknown row/col = 0 (column scorer skips)."""
     out = np.zeros((21, 21), dtype=np.float32)

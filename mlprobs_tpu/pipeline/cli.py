@@ -43,18 +43,27 @@ def _cmd_base(args) -> int:
 
 
 def _cmd_bench(args) -> int:
+    from mlprobs_tpu.bench.quality import sp_tc
     from mlprobs_tpu.core.fasta import read_fasta, write_fasta
+    from mlprobs_tpu.core.msa import MSA
     from mlprobs_tpu.pipeline.driver import run_pipeline
 
     suite = Path(args.suite)
     indir = suite / "in" if (suite / "in").is_dir() else suite
+    golden_dir = None
+    if args.golden:
+        golden_dir = Path(args.golden)
+    else:
+        cand = Path(str(suite).replace("TEST", "output4evaluation"))
+        if cand.is_dir():
+            golden_dir = cand
     files = sorted(indir.iterdir())
     if args.limit:
         files = files[: args.limit]
     outdir = Path(args.out) if args.out else None
     if outdir:
         outdir.mkdir(parents=True, exist_ok=True)
-    times = []
+    times, sps, tcs = [], [], []
     for f in files:
         t0 = time.time()
         out, rep = run_pipeline(read_fasta(f))
@@ -62,11 +71,27 @@ def _cmd_bench(args) -> int:
         times.append(dt)
         if outdir:
             write_fasta(outdir / f.name, out.to_records(), width=0)
-        print(f"{f.name}: {dt:.2f}s n={rep.num_seqs} "
-              f"strat={rep.strategy} mode={rep.realign_mode}")
+        line = (f"{f.name}: {dt:.2f}s n={rep.num_seqs} "
+                f"strat={rep.strategy} mode={rep.realign_mode}")
+        if golden_dir and (golden_dir / f.name).exists():
+            try:
+                ref = MSA.from_records(read_fasta(golden_dir / f.name))
+                sp, tc = sp_tc(out, ref)
+                sps.append(sp)
+                tcs.append(tc)
+                line += f" sp={sp:.3f} tc={tc:.3f}"
+            except Exception as e:  # scoring must never kill the run
+                line += f" score_err={type(e).__name__}"
+        print(line, flush=True)
     if times:
-        print(f"mean sec/family: {sum(times) / len(times):.3f} "
-              f"({len(times)} families)")
+        summary = {
+            "families": len(times),
+            "mean_sec_per_family": sum(times) / len(times),
+        }
+        if sps:
+            summary["mean_sp_vs_golden"] = sum(sps) / len(sps)
+            summary["mean_tc_vs_golden"] = sum(tcs) / len(tcs)
+        print(json.dumps(summary))
     return 0
 
 
@@ -91,6 +116,8 @@ def main(argv=None) -> int:
     c.add_argument("suite")
     c.add_argument("--out", default=None)
     c.add_argument("--limit", type=int, default=0)
+    c.add_argument("--golden", default=None,
+                   help="directory of reference MSAs to score against")
     c.set_defaults(fn=_cmd_bench)
 
     args = ap.parse_args(argv)

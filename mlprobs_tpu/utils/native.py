@@ -1,0 +1,125 @@
+"""ctypes bindings to the native runtime (native/mlprobs_native.cpp).
+
+Builds the shared library on first use (g++, a second or two) and falls
+back to the pure-Python implementations if a toolchain is unavailable.
+"""
+from __future__ import annotations
+
+import ctypes
+import functools
+from pathlib import Path
+
+import numpy as np
+
+_LIB_PATH = Path(__file__).resolve().parents[1] / "_native.so"
+
+
+@functools.lru_cache(maxsize=1)
+def lib() -> ctypes.CDLL | None:
+    try:
+        if not _LIB_PATH.exists():
+            from tools.build_native import build
+
+            build()
+        L = ctypes.CDLL(str(_LIB_PATH))
+    except Exception:
+        try:
+            import subprocess
+            import sys
+
+            root = Path(__file__).resolve().parents[2]
+            subprocess.run(
+                [sys.executable, str(root / "tools" / "build_native.py")],
+                check=True,
+            )
+            L = ctypes.CDLL(str(_LIB_PATH))
+        except Exception:
+            return None
+    i8p = ctypes.POINTER(ctypes.c_int8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    L.mwt_traceback.restype = ctypes.c_int
+    L.mwt_traceback.argtypes = [i8p, ctypes.c_int, ctypes.c_int,
+                                ctypes.c_int, i8p]
+    L.viterbi_traceback.restype = ctypes.c_int
+    L.viterbi_traceback.argtypes = [i8p, ctypes.c_int, ctypes.c_int,
+                                    ctypes.c_int, ctypes.c_int, i8p]
+    L.viterbi_features_batch.restype = ctypes.c_int
+    L.viterbi_features_batch.argtypes = [
+        i8p, i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(i8p), ctypes.POINTER(i8p), i32p, i32p,
+        f64p, f64p, i32p, f64p, ctypes.c_int, f64p,
+    ]
+    return L
+
+
+def _i8(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int8))
+
+
+def mwt_traceback(dirs: np.ndarray, lx: int, ly: int) -> np.ndarray | None:
+    L = lib()
+    if L is None:
+        return None
+    dirs = np.ascontiguousarray(dirs, dtype=np.int8)
+    out = np.empty(lx + ly + 2, dtype=np.int8)
+    n = L.mwt_traceback(_i8(dirs), dirs.shape[1], lx, ly, _i8(out))
+    return out[:n]
+
+
+def viterbi_traceback(
+    dirs: np.ndarray, end_state: int, lx: int, ly: int
+) -> np.ndarray | None:
+    L = lib()
+    if L is None:
+        return None
+    dirs = np.ascontiguousarray(dirs, dtype=np.int8)
+    out = np.empty(lx + ly + 2, dtype=np.int8)
+    n = L.viterbi_traceback(
+        _i8(dirs), dirs.shape[1], lx, ly, int(end_state), _i8(out)
+    )
+    return out[:n]
+
+
+def viterbi_features_batch(
+    dirs: np.ndarray,           # (B, R, C) int8
+    end_states: np.ndarray,     # (B,) int32
+    xs: list[np.ndarray],
+    ys: list[np.ndarray],
+    lxs: np.ndarray,
+    lys: np.ndarray,
+    blosum: np.ndarray,         # (21, 21) float64
+    col_acc: np.ndarray,        # (cap,) float64, accumulated in place
+):
+    """Returns (pids, lengths, max_len, sp_sum, sp_cols) or None."""
+    L = lib()
+    if L is None:
+        return None
+    dirs = np.ascontiguousarray(dirs, dtype=np.int8)
+    b = dirs.shape[0]
+    end_states = np.ascontiguousarray(end_states, dtype=np.int32)
+    lxs = np.ascontiguousarray(lxs, dtype=np.int32)
+    lys = np.ascontiguousarray(lys, dtype=np.int32)
+    blosum = np.ascontiguousarray(blosum, dtype=np.float64)
+    xs = [np.ascontiguousarray(x, dtype=np.int8) for x in xs]
+    ys = [np.ascontiguousarray(y, dtype=np.int8) for y in ys]
+    xp = (ctypes.POINTER(ctypes.c_int8) * b)(*[_i8(x) for x in xs])
+    yp = (ctypes.POINTER(ctypes.c_int8) * b)(*[_i8(y) for y in ys])
+    pids = np.zeros(b, dtype=np.float64)
+    lengths = np.zeros(b, dtype=np.int32)
+    sp = np.zeros(2, dtype=np.float64)
+    max_len = L.viterbi_features_batch(
+        _i8(dirs),
+        end_states.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        b, dirs.shape[1], dirs.shape[2],
+        xp, yp,
+        lxs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        lys.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        blosum.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        pids.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        col_acc.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        len(col_acc),
+        sp.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    return pids, lengths, max_len, float(sp[0]), float(sp[1])

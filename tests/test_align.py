@@ -1,0 +1,134 @@
+"""Tests for guide tree, consistency, progressive merge and graph layers."""
+import numpy as np
+import scipy.sparse as sp
+
+from mlprobs_tpu.align import consistency as cons
+from mlprobs_tpu.align import tree as treelib
+from mlprobs_tpu.align.graph import AlignGraph, graph_align
+from mlprobs_tpu.align.progressive import (
+    _mwt_host,
+    build_profile_posterior,
+    mwt_path,
+)
+from mlprobs_tpu.core.msa import MSA, merge_alignments
+
+RNG = np.random.default_rng(7)
+
+
+def test_upgma_matches_naive():
+    """UPGMA with weighted-average linkage vs a brute-force replica."""
+    n = 6
+    d = RNG.random((n, n))
+    d = (d + d.T) / 2
+    np.fill_diagonal(d, 0)
+    root = treelib.upgma(d.copy(), variance_id=1)
+    got = sorted(treelib.leaves(root))
+    assert got == list(range(n))
+    w = treelib.clustalw_weights(root, n)
+    assert w.shape == (n,)
+    assert (w >= 0).all()
+
+
+def test_consistency_matches_dense_reference():
+    """relax_sparse == the literal dense DoRelaxation formula."""
+    n, lens = 4, [5, 6, 4, 7]
+    posts = {}
+    dense = {}
+    for i in range(n):
+        for j in range(i + 1, n):
+            p = RNG.random((lens[i], lens[j])) ** 3
+            p[p < 0.01] = 0.0
+            posts[(i, j)] = sp.csr_matrix(p)
+            dense[(i, j)] = p
+    got = cons.relax_sparse(posts, lens, reps=1)
+    for (i, j), s in posts.items():
+        # reference: (2P + sum_z Pxz Pzy)/n, masked to support, cutoff
+        acc = 2.0 * dense[(i, j)]
+        for z in range(n):
+            if z in (i, j):
+                continue
+            if z < i:
+                a = dense[(z, i)].T
+            else:
+                a = dense[(i, z)]
+            if z < j:
+                b = dense[(z, j)]
+            else:
+                b = dense[(j, z)].T
+            acc = acc + a @ b
+        acc /= n
+        acc[dense[(i, j)] < 0.01] = 0.0
+        acc[acc < 0.01] = 0.0
+        np.testing.assert_allclose(
+            got[(i, j)].toarray(), acc, atol=1e-10
+        )
+
+
+def test_profile_posterior_scatter():
+    """Weighted profile posterior == naive per-pair scatter."""
+    recs1 = [("a", "AR-N"), ("b", "-RCN")]
+    recs2 = [("c", "ARN"), ("d", "A-N")]
+    g1 = MSA.from_records(recs1)
+    g2 = MSA.from_records(recs2)
+    g2.labels = g2.labels + 2
+    posts = {}
+    for la in range(2):
+        for lb in range(2, 4):
+            li = (g1.rows[la] >= 0).sum()
+            lj = (g2.rows[lb - 2] >= 0).sum()
+            posts[(la, lb)] = sp.csr_matrix(RNG.random((li, lj)))
+    weights = np.array([1, 2, 3, 4])
+    got = build_profile_posterior(g1, g2, posts, weights)
+    total_w = sum(
+        int(weights[a]) * int(weights[b]) for a in (0, 1) for b in (2, 3)
+    )
+    want = np.zeros((4, 3))
+    for a in range(2):
+        m1 = np.flatnonzero(g1.rows[a] >= 0)
+        for b in range(2, 4):
+            m2 = np.flatnonzero(g2.rows[b - 2] >= 0)
+            w = weights[a] * weights[b] / total_w
+            p = posts[(a, b)].toarray()
+            for ii in range(p.shape[0]):
+                for jj in range(p.shape[1]):
+                    want[m1[ii], m2[jj]] += w * p[ii, jj]
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_merge_alignments_roundtrip():
+    g1 = MSA.from_records([("a", "ARN"), ("b", "A-N")])
+    g2 = MSA.from_records([("c", "RN")])
+    g2.labels = g2.labels + 2
+    path = np.array([1, 0, 0], dtype=np.int8)  # X, B, B
+    merged = merge_alignments(g1, g2, path)
+    assert merged.num_seqs == 3
+    assert merged.length == 3
+    assert merged.to_records()[2][1] == "-RN"
+
+
+def test_host_mwt_matches_device_path():
+    post = (RNG.random((30, 25)) ** 4).astype(np.float32)
+    dirs, score = _mwt_host(post)
+    path, score2 = mwt_path(post)  # small => host route
+    assert abs(score - score2) < 1e-5
+    # path consumes exactly lx and ly
+    assert (path != 2).sum() == 30 and (path != 1).sum() == 25
+
+
+def test_align_graph_validity():
+    """Graph alignment must preserve residue order and content."""
+    from mlprobs_tpu.core.alphabet import decode, encode
+
+    seqs = ["MKVLAT", "MKIATG", "KVLATG"]
+    msa = MSA.from_unaligned([(f"s{i}", s) for i, s in enumerate(seqs)])
+    enc = [encode(s) for s in seqs]
+    posts = {}
+    for i in range(3):
+        for j in range(i + 1, 3):
+            p = RNG.random((len(seqs[i]), len(seqs[j])))
+            p = np.where(p > 0.5, p, 0.0)
+            posts[(i, j)] = sp.csr_matrix(p)
+    out = graph_align(msa, posts, enc)
+    assert out.num_seqs == 3
+    for k, s in enumerate(seqs):
+        assert decode(out.rows[k]).replace("-", "") == s

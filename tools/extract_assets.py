@@ -99,6 +99,26 @@ def extract_gonnet() -> dict[str, np.ndarray]:
     return {"gonnet160": out}
 
 
+def extract_vtml200() -> dict[str, np.ndarray]:
+    """QuickProbs' default partition matrix (AminoAcidMatrices.hpp).
+
+    Alphabet ARNDCQEGHILKMFPSTWYVBZX* (24 symbols, full square matrix);
+    re-ordered into our 21-class alphabet with X as the unknown class.
+    """
+    src = (REF / "realign/QuickProbs/src/Alignment/Pairwise/"
+                 "AminoAcidMatrices.hpp").read_text()
+    block = _block(src, "const T Vtml200<T>::SCORES[]")
+    vals = _floats(block)
+    m = np.asarray(vals, dtype=np.float64).reshape(24, 24)
+    order = "ARNDCQEGHILKMFPSTWYVBZX*"
+    out = np.zeros((21, 21), dtype=np.float64)
+    idx = [order.index(c) for c in AMINO_ORDER] + [order.index("X")]
+    for a, ia in enumerate(idx):
+        for b, ib in enumerate(idx):
+            out[a, b] = m[ia, ib]
+    return {"vtml200": out}
+
+
 def extract_norms() -> dict[str, np.ndarray]:
     out = {}
     for tier in ["branch", "regions", "seq_lens"]:
@@ -168,6 +188,7 @@ def main() -> None:
     params = {}
     params.update(extract_hmm_params())
     params.update(extract_gonnet())
+    params.update(extract_vtml200())
     params.update(extract_norms())
     np.savez_compressed(OUT / "params.npz", **params)
     np.savez_compressed(OUT / "forests.npz", **extract_forests())
