@@ -208,6 +208,26 @@ def align_family(
                             base_reps=100)
         return out
 
+    if config == "quickprobs":
+        # QuickProbs defaults (Configuration.cpp:84-135): UPGMA, weighted
+        # relaxation with selfweight 3, weighted construction with the
+        # posteriorCutoff subtraction, column refinement accepted by length
+        from mlprobs_tpu.align.refine_qp import column_refinement
+
+        posts, dist = posterior_stage(seqs, "qp", None)
+        root = treelib.upgma(dist, variance_id=1)
+        weights_f = treelib.clustalw_weights(root, n) / 100.0 + 1e-6
+        c_reps = 2 if n <= 50 else 1
+        posts = cons.relax_sparse_weighted(
+            posts, lengths, weights_f, reps=c_reps
+        )
+        out = progressive.process_tree(
+            root, msa, posts, weights_f, cutoff_sub=0.01
+        )
+        iters = 30 if n <= 200 else 200
+        out = column_refinement(out, posts, weights_f, rng, iters)
+        return out
+
     posts, dist = posterior_stage(seqs, mode, leave)
     root = treelib.upgma(dist, variance_id=vbit)
     posts = cons.relax_sparse(posts, lengths, reps=2)

@@ -73,6 +73,57 @@ def relax_sparse(
     return current
 
 
+def relax_sparse_weighted(
+    posts: dict[tuple[int, int], sp.csr_matrix],
+    lengths: list[int],
+    weights: np.ndarray,
+    reps: int = 2,
+    selfweight: float = 3.0,
+    selectivity: float = 200.0,
+    cutoff: float = CUTOFF,
+) -> dict[tuple[int, int], sp.csr_matrix]:
+    """QuickProbs-style weighted relaxation (ConsistencyStage.cpp:133-259).
+
+    P'_ij = (P_ij + sum_z (w_z / W_ij) P_iz P_zj) / sumW_ij with
+    W_ij = (1 + (selfweight-1) * accepted/selectivity) * (w_i + w_j),
+    masked to the original support and re-thresholded.  The stochastic
+    z-filter accepts everything for families smaller than `selectivity`
+    (the realign-block regime); the filtered variant lands with the
+    large-family path.
+    """
+    n = len(lengths)
+    offs = np.concatenate([[0], np.cumsum(lengths)])
+    w = np.asarray(weights, dtype=np.float64)
+    current = posts
+    for _ in range(reps):
+        # block matrix with ZERO diagonal (self terms added explicitly)
+        blocks: list[list] = [[None] * n for _ in range(n)]
+        for (i, j), s in current.items():
+            blocks[i][j] = s
+            blocks[j][i] = s.T.tocsr()
+        q = sp.bmat(blocks, format="csr")
+        wdiag = sp.diags(
+            np.concatenate([np.full(lengths[z], w[z]) for z in range(n)])
+        )
+        r = q @ wdiag @ q
+        new = {}
+        accepted = n - 2
+        for (i, j), s in current.items():
+            wij = (1.0 + (selfweight - 1.0) * accepted / selectivity)
+            wij *= w[i] + w[j]
+            sum_w = 1.0 + sum(
+                w[z] for z in range(n) if z not in (i, j)
+            ) / wij
+            blk = r[offs[i]:offs[i + 1], offs[j]:offs[j + 1]].tocsr()
+            out = (s + blk / wij) / sum_w
+            out = out.multiply(s > 0).tocsr()
+            out.data[out.data < cutoff] = 0.0
+            out.eliminate_zeros()
+            new[(i, j)] = out
+        current = new
+    return current
+
+
 def relax_dense_device(post_tensor, num_seqs: int, cutoff: float = CUTOFF):
     """One consistency round on a dense (N, N, Lp, Lp) tensor (jnp).
 

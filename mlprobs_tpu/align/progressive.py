@@ -88,13 +88,15 @@ def build_profile_posterior(
     group2: MSA,
     posts: dict[tuple[int, int], sp.csr_matrix],
     weights: np.ndarray | None = None,
+    cutoff_sub: float = 0.0,
 ) -> np.ndarray:
     """Dense (L1, L2) profile posterior by scatter through gap mappings.
 
-    `weights` are the int ClustalW weights indexed by original label; if
-    None the unweighted builder is used (refinement path).  The reference
-    cutoff subtraction is omitted because the base aligner always runs
-    with cutoff = 0 (MSA.cpp:38).
+    `weights` are ClustalW weights indexed by original label; if None the
+    unweighted builder is used (refinement path).  `cutoff_sub` is the
+    QuickProbs posteriorCutoff subtraction (w * cutoff removed at every
+    mapped cell, ProbabilisticModel.h:1253-1257); the base aligner runs
+    with cutoff 0 (MSA.cpp:38).
     """
     l1, l2 = group1.length, group2.length
     out = np.zeros((l1, l2), dtype=np.float64)
@@ -102,7 +104,7 @@ def build_profile_posterior(
     maps2 = [np.flatnonzero(group2.rows[b] >= 0) for b in range(group2.num_seqs)]
     if weights is not None:
         total_w = sum(
-            int(weights[la]) * int(weights[lb])
+            float(weights[la]) * float(weights[lb])
             for la in group1.labels
             for lb in group2.labels
         )
@@ -114,7 +116,7 @@ def build_profile_posterior(
             lb = int(group2.labels[b])
             w = 1.0
             if weights is not None:
-                w = int(weights[la]) * int(weights[lb]) / total_w
+                w = float(weights[la]) * float(weights[lb]) / total_w
             key = (la, lb) if la < lb else (lb, la)
             s = posts[key].tocoo()
             if la < lb:
@@ -122,6 +124,11 @@ def build_profile_posterior(
             else:
                 rows, cols = s.col, s.row
             np.add.at(out, (maps1[a][rows], maps2[b][cols]), w * s.data)
+            if cutoff_sub:
+                # reference subtracts over ungapped rows x the first
+                # l2-1 ungapped columns (the mapping's 0 sentinel swallows
+                # one entry, ProbabilisticModel.h:1254)
+                out[np.ix_(maps1[a], maps2[b][:-1])] -= w * cutoff_sub
     return out.astype(np.float32)
 
 
@@ -130,9 +137,11 @@ def align_profiles(
     group2: MSA,
     posts: dict[tuple[int, int], sp.csr_matrix],
     weights: np.ndarray | None,
+    cutoff_sub: float = 0.0,
 ) -> tuple[MSA, float]:
     """AlignAlignments: profile posterior -> MWT -> merge -> sort."""
-    prof = build_profile_posterior(group1, group2, posts, weights)
+    prof = build_profile_posterior(group1, group2, posts, weights,
+                                   cutoff_sub=cutoff_sub)
     path, score = mwt_path(prof)
     merged = merge_alignments(group1, group2, path)
     return merged.sort_by_label(), score
@@ -143,12 +152,13 @@ def process_tree(
     seqs_msa: MSA,
     posts: dict[tuple[int, int], sp.csr_matrix],
     weights: np.ndarray,
+    cutoff_sub: float = 0.0,
 ) -> MSA:
     if node.leaf:
         return seqs_msa.project([node.idx])
-    left = process_tree(node.left, seqs_msa, posts, weights)
-    right = process_tree(node.right, seqs_msa, posts, weights)
-    merged, _ = align_profiles(left, right, posts, weights)
+    left = process_tree(node.left, seqs_msa, posts, weights, cutoff_sub)
+    right = process_tree(node.right, seqs_msa, posts, weights, cutoff_sub)
+    merged, _ = align_profiles(left, right, posts, weights, cutoff_sub)
     return merged
 
 

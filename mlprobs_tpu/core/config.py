@@ -1,0 +1,66 @@
+"""Typed configuration unifying the reference's three config tiers.
+
+Reference: MLProbs.py constants (:23-34), baseMSA's argv globals
+(MSA.cpp:25-102) and QuickProbs' structured Configuration
+(Configuration.h:18-127).  Defaults reproduce the shipped behaviour.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class PipelineConfig:
+    """MLProbs.py tier."""
+
+    sigma: float = 1.2         # RIR upper column-score bound
+    beta: float = 0.0          # RIR lower bound
+    threshold: float = 2.0     # RCR lower bound
+    realign: bool = True       # run the region-realign stage
+
+
+@dataclass
+class AlignerConfig:
+    """baseMSA tier (c_p_np_aln flags / globals)."""
+
+    consistency_reps: int = 2          # MSA.cpp:34
+    refinement_reps: int = 100         # MSA.cpp:36
+    posterior_cutoff: float = 0.01     # SparseMatrix.h:14
+    clustalw_output: bool = False      # -clustalw
+    annotate: bool = False             # -annot
+    align_order: bool = False          # -a
+
+
+@dataclass
+class RealignerConfig:
+    """QuickProbs tier (Configuration.cpp defaults)."""
+
+    consistency_reps: int = 2          # small families (threshold 50)
+    consistency_reps_large: int = 1
+    large_family_threshold: int = 50
+    refinement_reps: int = 30          # small (RefinementBase.cpp:32-35)
+    refinement_reps_large: int = 200
+    refinement_threshold: int = 200
+    posterior_cutoff: float = 0.01
+    partition_matrix: str = "Vtml200"
+
+
+@dataclass
+class EngineConfig:
+    """TPU engine tier (no reference analogue: batching/memory plan)."""
+
+    length_bucket: int = 128
+    max_batch_elems: int = 2**25
+    topk_per_row: int = 16
+    host_mwt_area: int = 512 * 512
+
+
+@dataclass
+class Config:
+    pipeline: PipelineConfig = field(default_factory=PipelineConfig)
+    aligner: AlignerConfig = field(default_factory=AlignerConfig)
+    realigner: RealignerConfig = field(default_factory=RealignerConfig)
+    engine: EngineConfig = field(default_factory=EngineConfig)
+
+
+DEFAULT = Config()
