@@ -1,0 +1,53 @@
+"""Output parity against the reference binaries (when available).
+
+The binaries are built once into /tmp (see README in tests): quickprobs
+ships prebuilt; c_p_np_aln builds from the reference Makefile.  These
+tests are skipped when the binaries are absent.
+"""
+import shutil
+import subprocess
+from pathlib import Path
+
+import pytest
+
+from mlprobs_tpu.align.aligner import align_family, family_viterbi_stats
+from mlprobs_tpu.core.alphabet import degap, encode
+from mlprobs_tpu.core.fasta import parse_fasta, read_fasta
+
+CPNP = Path("/tmp/cpnp_build/c_p_np_aln")
+FAMS = Path("/root/reference/TEST/sabre/in")
+
+pytestmark = pytest.mark.skipif(
+    not (CPNP.exists() and FAMS.exists()),
+    reason="reference binary or test data unavailable",
+)
+
+
+def _run_ref(args, timeout=300):
+    return subprocess.run(
+        [str(CPNP), *args], capture_output=True, text=True,
+        timeout=timeout,
+    ).stdout
+
+
+def test_feature_pass_bit_parity():
+    fam = FAMS / "sup_387"
+    ref = _run_ref(["-G", str(fam)]).strip().split("\t")
+    enc = [degap(encode(s)) for _, s in read_fasta(fam)]
+    st = family_viterbi_stats(enc, with_features=True)
+    ours = [
+        f"{st.avg_pid:.6f}", f"{st.sd_pid:.6f}", str(st.num_seqs),
+        str(st.avg_len), f"{st.avg_sp:.6f}", f"{st.peak_ratio:.6f}",
+        f"{st.factor:.6f}",
+    ]
+    assert [f"{float(r):.6f}" if "." in r else r for r in ref] == [
+        f"{float(o):.6f}" if "." in o else o for o in ours
+    ]
+
+
+@pytest.mark.parametrize("fam", ["sup_387", "sup_386", "twi_009"])
+def test_progressive_alignment_parity(fam):
+    path = FAMS / fam
+    ref = dict(parse_fasta(_run_ref(["-p", "0", str(path)])))
+    ours = dict(align_family(read_fasta(path), config="pnp").to_records())
+    assert ref == ours
