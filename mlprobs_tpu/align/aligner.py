@@ -214,12 +214,18 @@ def align_family(
         # posteriorCutoff subtraction, column refinement accepted by length
         from mlprobs_tpu.align.refine_qp import column_refinement
 
+        from mlprobs_tpu.align.tree_extra import subtree_distances
+
         posts, dist = posterior_stage(seqs, "qp", None)
         root = treelib.upgma(dist, variance_id=1)
         weights_f = treelib.clustalw_weights(root, n) / 100.0 + 1e-6
         c_reps = 2 if n <= 50 else 1
+        # Subtree-mode selectivity: the deterministic filter only bites
+        # when some pair's tree distance exceeds the 200 threshold
+        subd = subtree_distances(root, n)
+        dist_arg = None if subd.max() <= 200.0 else subd
         posts = cons.relax_sparse_weighted(
-            posts, lengths, weights_f, reps=c_reps
+            posts, lengths, weights_f, reps=c_reps, distances=dist_arg
         )
         out = progressive.process_tree(
             root, msa, posts, weights_f, cutoff_sub=0.01

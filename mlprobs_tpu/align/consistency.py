@@ -22,6 +22,77 @@ import scipy.sparse as sp
 
 CUTOFF = 0.01  # SparseMatrix.h:14
 
+# Park-Miller minimal standard generator: the deterministic RNG the
+# reference uses identically on host and device so CPU/GPU runs match
+# (Common/deterministic_random.h, Kernels/Random.cl).
+PM_MOD = 2147483647
+PM_MULT = 16807
+
+
+def parkmiller(seed: int) -> int:
+    return (seed * PM_MULT) % PM_MOD
+
+
+SELECTIVITY_FUNCTIONS = {
+    "sum": lambda x, y: x + y,
+    "min": min,
+    "max": max,
+    "avg": lambda x, y: x + y / 2,   # the reference's literal formula
+}
+
+
+def selectivity_filter(kind: str, selectivity: float):
+    """Filter shape + coefficients (ConsistencyStage.cpp:35-58)."""
+    import math
+
+    if kind == "deterministic":
+        a, b = selectivity, 0.0
+        return lambda x: 2.0 if x <= a else 0.0
+    if kind == "triangle_lowpass":
+        a = -1.0
+        b = math.sqrt(2.0 * selectivity * (-a))
+        return lambda x: a * x + b
+    if kind == "triangle_highpass":
+        a = 1.0
+        b = -1 + math.sqrt(2.0 * selectivity * a)
+        return lambda x: a * x + b
+    if kind == "triangle_midpass":
+        a = 4 * selectivity
+        return lambda x: min(a * x, -a * x + a)
+    if kind == "homograph_lowpass":
+        a = selectivity
+        return lambda x: (1 - x) / (a * x + 1)
+    raise ValueError(kind)
+
+
+def z_acceptance(
+    distances: np.ndarray,
+    i: int,
+    j: int,
+    seed: int,
+    function: str = "max",
+    filter_kind: str = "deterministic",
+    selectivity: float = 200.0,
+) -> list[int]:
+    """Accepted intermediate sequences z for pair (i, j).
+
+    Mirrors the stochastic z-filter (ConsistencyStage.cpp:186-221): a
+    Park-Miller stream seeded per pair decides acceptance against the
+    filtered selectivity value.
+    """
+    n = distances.shape[0]
+    func = SELECTIVITY_FUNCTIONS[function]
+    filt = selectivity_filter(filter_kind, selectivity)
+    out = []
+    for k in range(n):
+        if k in (i, j):
+            continue
+        x = filt(func(distances[i, k], distances[j, k]))
+        seed = parkmiller(seed)
+        if seed / PM_MOD - x < 0:
+            out.append(k)
+    return out
+
 
 def sparsify(post: np.ndarray, cutoff: float = CUTOFF) -> sp.csr_matrix:
     """Threshold a dense posterior plane into CSR (values >= cutoff)."""
@@ -81,40 +152,57 @@ def relax_sparse_weighted(
     selfweight: float = 3.0,
     selectivity: float = 200.0,
     cutoff: float = CUTOFF,
+    distances: np.ndarray | None = None,
 ) -> dict[tuple[int, int], sp.csr_matrix]:
     """QuickProbs-style weighted relaxation (ConsistencyStage.cpp:133-259).
 
-    P'_ij = (P_ij + sum_z (w_z / W_ij) P_iz P_zj) / sumW_ij with
-    W_ij = (1 + (selfweight-1) * accepted/selectivity) * (w_i + w_j),
-    masked to the original support and re-thresholded.  The stochastic
-    z-filter accepts everything for families smaller than `selectivity`
-    (the realign-block regime); the filtered variant lands with the
-    large-family path.
+    P'_ij = (P_ij + sum_{z in A_ij} (w_z / W_ij) P_iz P_zj) / sumW_ij
+    with W_ij = (1 + (selfweight-1) * |A_ij|/selectivity) * (w_i + w_j),
+    masked to the original support and re-thresholded.  A_ij is the
+    accepted-z set of the stochastic selectivity filter; when
+    `distances` is None every z is accepted (the deterministic filter
+    below its threshold — the realign-block regime), enabling the fast
+    single-block-product path.
     """
     n = len(lengths)
     offs = np.concatenate([[0], np.cumsum(lengths)])
     w = np.asarray(weights, dtype=np.float64)
     current = posts
+    accept_all = distances is None
+
     for _ in range(reps):
-        # block matrix with ZERO diagonal (self terms added explicitly)
         blocks: list[list] = [[None] * n for _ in range(n)]
         for (i, j), s in current.items():
             blocks[i][j] = s
             blocks[j][i] = s.T.tocsr()
-        q = sp.bmat(blocks, format="csr")
-        wdiag = sp.diags(
-            np.concatenate([np.full(lengths[z], w[z]) for z in range(n)])
-        )
-        r = q @ wdiag @ q
+        if accept_all:
+            # block matrix with ZERO diagonal (self terms added explicitly)
+            q = sp.bmat(blocks, format="csr")
+            wdiag = sp.diags(
+                np.concatenate(
+                    [np.full(lengths[z], w[z]) for z in range(n)]
+                )
+            )
+            r = q @ wdiag @ q
         new = {}
-        accepted = n - 2
         for (i, j), s in current.items():
-            wij = (1.0 + (selfweight - 1.0) * accepted / selectivity)
+            if accept_all:
+                accepted = [z for z in range(n) if z not in (i, j)]
+            else:
+                accepted = z_acceptance(
+                    distances, i, j,
+                    seed=(i * n + j) % (PM_MOD - 1) + 1,
+                    selectivity=selectivity,
+                )
+            wij = (1.0 + (selfweight - 1.0) * len(accepted) / selectivity)
             wij *= w[i] + w[j]
-            sum_w = 1.0 + sum(
-                w[z] for z in range(n) if z not in (i, j)
-            ) / wij
-            blk = r[offs[i]:offs[i + 1], offs[j]:offs[j + 1]].tocsr()
+            sum_w = 1.0 + sum(w[z] for z in accepted) / wij
+            if accept_all:
+                blk = r[offs[i]:offs[i + 1], offs[j]:offs[j + 1]].tocsr()
+            else:
+                blk = sp.csr_matrix((lengths[i], lengths[j]))
+                for z in accepted:
+                    blk = blk + w[z] * (blocks[i][z] @ blocks[z][j])
             out = (s + blk / wij) / sum_w
             out = out.multiply(s > 0).tocsr()
             out.data[out.data < cutoff] = 0.0

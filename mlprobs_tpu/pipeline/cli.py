@@ -63,6 +63,10 @@ def _cmd_bench(args) -> int:
     outdir = Path(args.out) if args.out else None
     if outdir:
         outdir.mkdir(parents=True, exist_ok=True)
+    if args.resume and outdir:
+        # suite runs are resumable by inspection, like the reference's
+        # staged tmp layout (SURVEY §5.4)
+        files = [f for f in files if not (outdir / f.name).exists()]
     times, sps, tcs = [], [], []
     for f in files:
         t0 = time.time()
@@ -118,6 +122,8 @@ def main(argv=None) -> int:
     c.add_argument("--limit", type=int, default=0)
     c.add_argument("--golden", default=None,
                    help="directory of reference MSAs to score against")
+    c.add_argument("--resume", action="store_true",
+                   help="skip families whose output already exists")
     c.set_defaults(fn=_cmd_bench)
 
     args = ap.parse_args(argv)
