@@ -18,6 +18,10 @@ def enable() -> None:
         "MLPROBS_JAX_CACHE",
         str(Path.home() / ".cache" / "mlprobs_jax"),
     )
+    # separate per platform: CPU AOT executables are machine-profiled
+    # and the tunneled-TPU server may compile with different features
+    platform = os.environ.get("JAX_PLATFORMS", "default").split(",")[0]
+    cache_dir = str(Path(cache_dir) / (platform or "default"))
     Path(cache_dir).mkdir(parents=True, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
