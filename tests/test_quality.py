@@ -1,0 +1,75 @@
+"""Tests for SP/TC scoring, dense-device consistency and aux tools."""
+import numpy as np
+import scipy.sparse as sp
+
+import jax.numpy as jnp
+
+from mlprobs_tpu.align import consistency as cons
+from mlprobs_tpu.bench.quality import column_identity, sp_tc
+from mlprobs_tpu.core.msa import MSA
+from mlprobs_tpu.pipeline.auxtools import (
+    annotation_scores,
+    reverse_records,
+    unreliable_family,
+    write_clustal,
+)
+
+
+def test_sp_tc_identical_alignment():
+    m = MSA.from_records([("a", "AR-N"), ("b", "ARCN"), ("c", "-RCN")])
+    sp_, tc = sp_tc(m, m)
+    assert sp_ == 1.0 and tc == 1.0
+
+
+def test_sp_tc_detects_shift():
+    ref = MSA.from_records([("a", "ARN-"), ("b", "-ARN")])
+    test = MSA.from_records([("a", "ARN"), ("b", "ARN")])
+    s, t = sp_tc(test, ref)
+    assert s == 0.0 and t == 0.0
+    assert column_identity(test, ref) == 0.0
+
+
+def test_dense_device_consistency_matches_sparse():
+    rng = np.random.default_rng(2)
+    n, lp = 4, 16
+    lens = [lp] * n
+    posts = {}
+    dense = np.zeros((n, n, lp, lp), dtype=np.float32)
+    for i in range(n):
+        dense[i, i] = np.eye(lp)
+        for j in range(i + 1, n):
+            p = (rng.random((lp, lp)) ** 3).astype(np.float32)
+            p[p < 0.01] = 0.0
+            posts[(i, j)] = sp.csr_matrix(p)
+            dense[i, j] = p
+            dense[j, i] = p.T
+    got = np.asarray(
+        cons.relax_dense_device(jnp.asarray(dense), num_seqs=n)
+    )
+    want = cons.relax_sparse(posts, lens, reps=1)
+    for (i, j), s in want.items():
+        np.testing.assert_allclose(
+            got[i, j], s.toarray(), atol=1e-5
+        )
+
+
+def test_annotation_scores_range():
+    m = MSA.from_records([("a", "ARN"), ("b", "ARN")])
+    posts = {(0, 1): sp.csr_matrix(np.eye(3, dtype=np.float32))}
+    scores = annotation_scores(m, posts)
+    # reference divisor is n*(n-1) over unordered-pair sums
+    # (MSA.cpp:2204), so a perfect 2-seq column scores 100
+    assert scores.tolist() == [100, 100, 100]
+
+
+def test_clustal_output_shape():
+    m = MSA.from_records([("seqA", "ARN" * 30), ("seqB", "ARN" * 30)])
+    text = write_clustal(m)
+    assert "seqA" in text and text.count("seqA") == 2  # 90 cols -> 2 blocks
+
+
+def test_aux_reverse_and_unreliable():
+    recs = reverse_records([("b", "ARN"), ("a", "ND")])
+    assert recs == [("a", "DN"), ("b", "NRA")]
+    assert unreliable_family(np.array([0.1, 0.2, 3.0]), 1.0, 0.5)
+    assert not unreliable_family(np.array([2.0, 3.0, 3.0]), 1.0, 0.5)
