@@ -70,7 +70,26 @@ def _cmd_bench(args) -> int:
     times, sps, tcs = [], [], []
     for f in files:
         t0 = time.time()
-        out, rep = run_pipeline(read_fasta(f))
+        if args.family_timeout:
+            # a wedged device RPC would stall the whole suite; die loudly
+            # so an outer wrapper can restart with --resume
+            import signal
+
+            def _alarm(signum, frame):
+                raise TimeoutError(f"family {f.name} exceeded timeout")
+
+            signal.signal(signal.SIGALRM, _alarm)
+            signal.alarm(args.family_timeout)
+        try:
+            out, rep = run_pipeline(read_fasta(f))
+        except TimeoutError as e:
+            print(f"TIMEOUT: {e}", flush=True)
+            return 3
+        finally:
+            if args.family_timeout:
+                import signal
+
+                signal.alarm(0)
         dt = time.time() - t0
         times.append(dt)
         if outdir:
@@ -124,6 +143,9 @@ def main(argv=None) -> int:
                    help="directory of reference MSAs to score against")
     c.add_argument("--resume", action="store_true",
                    help="skip families whose output already exists")
+    c.add_argument("--family-timeout", type=int, default=0,
+                   help="abort (exit 3) if one family exceeds this many "
+                        "seconds; combine with --resume in a retry loop")
     c.set_defaults(fn=_cmd_bench)
 
     args = ap.parse_args(argv)
