@@ -37,8 +37,14 @@ def _cmd_base(args) -> int:
     from mlprobs_tpu.core.fasta import read_fasta, write_fasta
 
     records = read_fasta(args.input)
-    out = align_family(records, config=args.config)
-    write_fasta(args.output, out.to_records())
+    out = align_family(records, config=args.config,
+                       strategy=args.strategy)
+    if args.clustalw:
+        from mlprobs_tpu.pipeline.auxtools import write_clustal
+
+        Path(args.output).write_text(write_clustal(out))
+    else:
+        write_fasta(args.output, out.to_records())
     return 0
 
 
@@ -133,6 +139,11 @@ def main(argv=None) -> int:
     b.add_argument("output")
     b.add_argument("--config", default="pnp",
                    choices=["pnp", "quickprobs"])
+    b.add_argument("-p", "--strategy", type=int, default=0,
+                   choices=[0, 1],
+                   help="0 = progressive, 1 = non-progressive")
+    b.add_argument("--clustalw", action="store_true",
+                   help="write ClustalW .aln output")
     b.set_defaults(fn=_cmd_base)
 
     c = sub.add_parser("bench", help="run a benchmark suite")
