@@ -1,0 +1,168 @@
+"""Wavefront DP engine vs the row-scan oracles (ops/pairhmm, ops/partition).
+
+The wavefront engine (ops/wavefront.py) recomputes the same posteriors
+in scaled probability space over anti-diagonals; these tests pin its
+numerics to the oracle implementations that are themselves parity-tested
+against the reference binaries.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mlprobs_tpu.align import pairwise
+from mlprobs_tpu.ops import mwt, pairhmm, partition, wavefront
+
+
+LP = 24
+
+
+def _batch(seed=0, b=4, lp=LP):
+    rng = np.random.default_rng(seed)
+    lx = rng.integers(6, lp + 1, b).astype(np.int32)
+    ly = rng.integers(6, lp + 1, b).astype(np.int32)
+    X = np.full((b, lp), 20, np.int8)
+    Y = np.full((b, lp), 20, np.int8)
+    for i in range(b):
+        X[i, : lx[i]] = rng.integers(0, 20, lx[i])
+        Y[i, : ly[i]] = rng.integers(0, 20, ly[i])
+    return (
+        jnp.asarray(X), jnp.asarray(Y),
+        jnp.asarray(lx), jnp.asarray(ly),
+    )
+
+
+def _run_wavefront(X, Y, lx, ly, models):
+    params = {
+        "hmm5": pairwise.hmm5_dict(),
+        "local": pairwise.local_dict(0.170705),
+        "partition": pairwise.partition_dict(),
+    }
+    tabs_f = {
+        m: wavefront.PROB_TABLES[m](params[m], transpose=False)
+        for m in models
+    }
+    tabs_r = {
+        m: wavefront.PROB_TABLES[m](params[m], transpose=True)
+        for m in models
+    }
+    b, lp = X.shape
+    zero = jnp.zeros((b,), jnp.int32)
+    fwd = wavefront.wavefront_forward(
+        X, Y, zero, zero, lx, ly, tabs_f, models=models, emit_pre=False
+    )
+    rev = wavefront.wavefront_forward(
+        X[:, ::-1], Y[:, ::-1], lp - lx, lp - ly, lx, ly, tabs_r,
+        models=models, emit_pre=True,
+    )
+    return fwd, rev, params
+
+
+def _unskew(p_skew):
+    """(D, B, W) skewed -> (B, Lp, Lp) 0-based posterior plane (numpy)."""
+    p = np.asarray(p_skew)
+    D, B, W = p.shape
+    lp = W - 1
+    out = np.zeros((B, lp, lp), np.float32)
+    for i0 in range(lp):
+        for j0 in range(lp):
+            out[:, i0, j0] = p[i0 + j0 + 2, :, j0 + 1]
+    return out
+
+
+MODELS = ("hmm5", "local", "partition")
+ORACLES = {
+    "hmm5": pairhmm.hmm5_posterior,
+    "local": pairhmm.local_posterior,
+    "partition": partition.partition_posterior,
+}
+
+
+@pytest.mark.parametrize("model", MODELS)
+def test_wavefront_posterior_matches_oracle(model):
+    X, Y, lx, ly = _batch(seed=1)
+    fwd, rev, params = _run_wavefront(X, Y, lx, ly, (model,))
+    p_skew = wavefront.posterior_skew(fwd, rev, model)
+    got = _unskew(p_skew)
+    want = np.asarray(
+        jax.vmap(ORACLES[model], in_axes=(0, 0, 0, 0, None))(
+            X, Y, lx, ly, params[model]
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-5)
+
+
+def test_wavefront_fused_models_match_single():
+    X, Y, lx, ly = _batch(seed=2)
+    fwd, rev, _ = _run_wavefront(X, Y, lx, ly, MODELS)
+    for model in MODELS:
+        fwd1, rev1, _ = _run_wavefront(X, Y, lx, ly, (model,))
+        np.testing.assert_allclose(
+            np.asarray(wavefront.posterior_skew(fwd, rev, model)),
+            np.asarray(wavefront.posterior_skew(fwd1, rev1, model)),
+            rtol=1e-6, atol=1e-7,
+        )
+
+
+def test_wavefront_totals_match_oracle():
+    X, Y, lx, ly = _batch(seed=3)
+    fwd, rev, params = _run_wavefront(X, Y, lx, ly, ("hmm5",))
+    ln2 = np.log(2.0)
+
+    def tot_one(x, y, lxi, lyi):
+        _, fstates = pairhmm.hmm5_forward(x, y, lxi, lyi, params["hmm5"])
+        return jax.scipy.special.logsumexp(
+            fstates[lxi] + params["hmm5"]["init"]
+        )
+
+    want = np.asarray(
+        jax.vmap(tot_one, in_axes=(0, 0, 0, 0))(X, Y, lx, ly)
+    )
+    got = np.asarray(fwd["log2t"]["hmm5"]) * ln2
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    # the reverse pass computes the same total independently
+    got_r = np.asarray(rev["log2t"]["hmm5"]) * ln2
+    np.testing.assert_allclose(got_r, want, rtol=1e-4, atol=1e-4)
+
+
+def test_mwt_skew_matches_rowscan():
+    X, Y, lx, ly = _batch(seed=4)
+    fwd, rev, _ = _run_wavefront(X, Y, lx, ly, ("hmm5",))
+    p_skew = wavefront.posterior_skew(fwd, rev, "hmm5")
+    score, nb = wavefront.mwt_skew(p_skew, lx, ly, with_matches=True)
+
+    p_unsk = _unskew(p_skew)
+    want_s, want_n = [], []
+    for k in range(X.shape[0]):
+        dirs, s = mwt.mwt_align(jnp.asarray(p_unsk[k]), lx[k], ly[k])
+        want_s.append(float(s))
+        want_n.append(int(mwt.count_matches(dirs, lx[k], ly[k])))
+    np.testing.assert_allclose(
+        np.asarray(score), np.asarray(want_s), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(nb).astype(int), np.asarray(want_n)
+    )
+
+
+def test_topk_skew_covers_cutoff_entries():
+    X, Y, lx, ly = _batch(seed=5)
+    fwd, rev, _ = _run_wavefront(X, Y, lx, ly, ("hmm5",))
+    p_skew = wavefront.posterior_skew(fwd, rev, "hmm5")
+    vals, lanes = wavefront.topk_skew(p_skew, 16, 0.01)
+    vals, lanes = np.asarray(vals), np.asarray(lanes)
+    p = np.asarray(p_skew)
+    # every entry >= cutoff appears (a diagonal has < 16 such entries
+    # for these sizes), with its exact value
+    D, B, W = p.shape
+    for d in range(D):
+        for b in range(B):
+            want = {
+                (j, p[d, b, j]) for j in range(W) if p[d, b, j] >= 0.01
+            }
+            got = {
+                (lanes[d, b, k], vals[d, b, k])
+                for k in range(16)
+                if vals[d, b, k] > 0
+            }
+            assert want <= got
