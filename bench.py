@@ -4,12 +4,13 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Measures mixed-model posterior cell-updates/sec on the real chip — the
-inner loop that dominates MLProbs runtime.  One "cell update" = one
-(i, j) DP cell filled across the three posterior models (forward +
-backward each) plus the MWT pass; we count it as the number of posterior
-plane cells computed per pair (L^2) times pairs/sec, the same unit the
-reference's OpenMP/OpenCL loops are measured in (SURVEY §6).
+Measures the production posterior stage (mix mode: 5-state HMM +
+partition function + local HMM, forward+reverse wavefront scans, RMS
+combine, MWT accuracy DP with match counts, per-diagonal top-k
+sparsification) on the real chip — the inner loop that dominates
+MLProbs runtime.  One "cell update" = one (i, j) DP cell of the
+combined posterior plane (L^2 per pair), the same unit the reference's
+OpenMP/OpenCL loops fill (SURVEY §6).
 
 vs_baseline compares against the reference CPU pipeline's effective
 posterior fill rate, ~2.0e8 cells/s on a modern multicore CPU
@@ -32,26 +33,27 @@ def main() -> None:
     import mlprobs_tpu  # noqa: F401  (enables the compile cache)
     from mlprobs_tpu.align import pairwise
 
-    b, lp = 64, 512
-    fn = pairwise._posterior_fn("mix")
-    p5 = pairwise.hmm5_dict()
-    pl = pairwise.local_dict(0.170705)
-    pp = pairwise.partition_dict()
+    b, lp = 512, 512
+    models = pairwise._MODE_MODELS["mix"]
+    fn = pairwise._wf_fn(models, True)
+    tabs_f, tabs_r = pairwise._wf_tables("mix", 0.170705)
     rng = np.random.default_rng(0)
     X = jnp.asarray(rng.integers(0, 20, (b, lp)), jnp.int8)
     Y = jnp.asarray(rng.integers(0, 20, (b, lp)), jnp.int8)
     LX = jnp.full((b,), lp, jnp.int32)
     LY = jnp.full((b,), lp, jnp.int32)
 
-    # warm up / compile
-    out = fn(X, Y, LX, LY, p5, pl, pp)
-    jax.block_until_ready(out)
+    def run():
+        out = fn(X, Y, LX, LY, tabs_f, tabs_r)
+        jax.block_until_ready(out)
+        # force completion through the async RPC transport
+        return np.asarray(out[2])[:2]
 
+    run()  # warm up / compile
     iters = 5
     t0 = time.time()
     for _ in range(iters):
-        out = fn(X, Y, LX, LY, p5, pl, pp)
-        jax.block_until_ready(out)
+        run()
     dt = (time.time() - t0) / iters
 
     cells = b * lp * lp

@@ -15,6 +15,7 @@ Model selection per family identity class (pdoAlign, MSA.cpp:941-1010):
 from __future__ import annotations
 
 import functools
+import os
 from typing import Iterator, Sequence
 
 import jax
@@ -22,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mlprobs_tpu.models import params as mp
-from mlprobs_tpu.ops import mwt, pairhmm, partition, viterbi
+from mlprobs_tpu.ops import mwt, pairhmm, partition, viterbi, wavefront
 
 LEN_BUCKET = 128         # pad lengths to multiples of this (compile reuse)
 MAX_BATCH_ELEMS = 2**25  # cap on batch * Lp^2 posterior elements
@@ -140,6 +141,93 @@ _MODE_MODELS = {
     "partition": ("partition",),
 }
 
+# Posterior engine: "wavefront" (anti-diagonal scaled-probability scan,
+# ops/wavefront.py — the TPU production path) or "scan" (per-row
+# log-space scans, ops/pairhmm.py — the oracle / debugging path).
+_ENGINE = os.environ.get("MLPROBS_POSTERIOR_ENGINE", "wavefront")
+
+# HBM budget for the wavefront engine's skewed planes.  A mix-mode
+# batch holds ~8 (D, B, W) f32 planes (3 models x fwd/rev + combined
+# posterior + top-k staging), i.e. ~64*B*L^2 bytes.
+_WF_PLANE_BUDGET = int(6e9)
+
+
+def _wf_batch_size(lp: int) -> int:
+    cap = max(8, _WF_PLANE_BUDGET // (64 * lp * lp))
+    cap = 1 << (cap.bit_length() - 1)
+    return int(min(cap, 2048))
+
+
+@functools.lru_cache(maxsize=16)
+def _wf_fn(models: tuple[str, ...], with_matches: bool):
+    """Jitted wavefront posterior stage: fwd+rev scans, RMS combine,
+    skew-space MWT (+match count) and per-diagonal top-k."""
+
+    def run(X, Y, LX, LY, tabs_f, tabs_r):
+        b, lp = X.shape
+        zero = jnp.zeros((b,), jnp.int32)
+        fwd = wavefront.wavefront_forward(
+            X, Y, zero, zero, LX, LY, tabs_f,
+            models=models, emit_pre=False,
+        )
+        rev = wavefront.wavefront_forward(
+            X[:, ::-1], Y[:, ::-1], lp - LX, lp - LY, LX, LY, tabs_r,
+            models=models, emit_pre=True,
+        )
+        if len(models) == 1:
+            post = wavefront.posterior_skew(fwd, rev, models[0])
+        else:
+            acc = None
+            for m in models:
+                p = wavefront.posterior_skew(fwd, rev, m)
+                acc = p * p if acc is None else acc + p * p
+            post = jnp.sqrt(acc / len(models))
+        vals, lanes = wavefront.topk_skew(post, TOPK, CUTOFF)
+        if with_matches:
+            score, nb = wavefront.mwt_skew(post, LX, LY, with_matches=True)
+            return vals, lanes, score, nb
+        score = wavefront.mwt_skew(post, LX, LY, with_matches=False)
+        return vals, lanes, score
+
+    return jax.jit(run)
+
+
+def _wf_tables(mode: str, leave_prob: float | None):
+    params = {
+        "hmm5": hmm5_dict(),
+        "local": local_dict(leave_prob),
+        "partition": partition_qp_dict() if mode == "qp"
+        else partition_dict(),
+    }
+    models = _MODE_MODELS[mode]
+    tabs_f = {
+        m: wavefront.PROB_TABLES[m](params[m], transpose=False)
+        for m in models
+    }
+    tabs_r = {
+        m: wavefront.PROB_TABLES[m](params[m], transpose=True)
+        for m in models
+    }
+    return tabs_f, tabs_r
+
+
+def topk_diag_to_csr(vals: np.ndarray, lanes: np.ndarray, li: int, lj: int):
+    """CSR posterior from one pair's per-diagonal top-k (D, K) arrays.
+
+    Skew cell (d, lane j) is grid cell (i, j) = (d - j, j), i.e. the
+    0-based posterior entry (i - 1, j - 1).
+    """
+    import scipy.sparse as sp
+
+    ds, ks = np.nonzero(vals > 0.0)
+    j = lanes[ds, ks]
+    r = ds - j - 1
+    c = j - 1
+    ok = (r >= 0) & (r < li) & (c >= 0) & (c < lj)
+    return sp.csr_matrix(
+        (vals[ds[ok], ks[ok]], (r[ok], c[ok])), shape=(li, lj)
+    )
+
 
 def _posterior_fn(mode: str, with_matches: bool = False):
     models = _MODE_MODELS[mode]
@@ -171,14 +259,15 @@ def _pad_to(seq: np.ndarray, lp: int) -> np.ndarray:
 
 
 def iter_pair_batches(
-    seqs: Sequence[np.ndarray], pairs: Sequence[tuple[int, int]]
+    seqs: Sequence[np.ndarray], pairs: Sequence[tuple[int, int]],
+    batch_fn=None,
 ) -> Iterator[tuple[list[tuple[int, int]], np.ndarray, np.ndarray,
                     np.ndarray, np.ndarray]]:
     """Yield (pair_chunk, X, Y, LX, LY) padded device batches."""
     if not pairs:
         return
     lp = _bucket_len(max(len(s) for s in seqs))
-    bs = _batch_size(lp, len(pairs))
+    bs = batch_fn(lp) if batch_fn is not None else _batch_size(lp, len(pairs))
     padded = [_pad_to(s, lp) for s in seqs]
     lens = [len(s) for s in seqs]
     for start in range(0, len(pairs), bs):
@@ -223,6 +312,11 @@ def all_pairs_posteriors(
     n = len(seqs)
     if pairs is None:
         pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
+    if _ENGINE == "wavefront":
+        yield from _all_pairs_posteriors_wf(
+            seqs, mode, leave_prob, pairs, with_matches
+        )
+        return
     p5, pl = hmm5_dict(), local_dict(leave_prob)
     pp = partition_qp_dict() if mode == "qp" else partition_dict()
     fn = _posterior_fn(mode, with_matches)
@@ -236,6 +330,27 @@ def all_pairs_posteriors(
         for k, (i, j) in enumerate(chunk):
             li, lj = len(seqs[i]), len(seqs[j])
             csr = topk_to_csr(vals[k], idx[k], li, lj)
+            if with_matches:
+                yield (i, j), csr, float(score[k]), int(out[3][k])
+            else:
+                yield (i, j), csr, float(score[k])
+
+
+def _all_pairs_posteriors_wf(seqs, mode, leave_prob, pairs, with_matches):
+    tabs_f, tabs_r = _wf_tables(mode, leave_prob)
+    fn = _wf_fn(_MODE_MODELS[mode], with_matches)
+    for chunk, X, Y, LX, LY in iter_pair_batches(
+        seqs, pairs, batch_fn=_wf_batch_size
+    ):
+        out = fn(
+            jnp.asarray(X), jnp.asarray(Y), jnp.asarray(LX),
+            jnp.asarray(LY), tabs_f, tabs_r,
+        )
+        out = [np.asarray(o) for o in out]
+        vals, lanes, score = out[:3]
+        for k, (i, j) in enumerate(chunk):
+            li, lj = len(seqs[i]), len(seqs[j])
+            csr = topk_diag_to_csr(vals[:, k], lanes[:, k], li, lj)
             if with_matches:
                 yield (i, j), csr, float(score[k]), int(out[3][k])
             else:

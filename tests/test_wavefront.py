@@ -166,3 +166,41 @@ def test_topk_skew_covers_cutoff_entries():
                 if vals[d, b, k] > 0
             }
             assert want <= got
+
+
+def test_all_pairs_posteriors_engines_agree(monkeypatch):
+    """The wavefront production path and the row-scan oracle path produce
+    equivalent sparse posteriors and identical MWT scores."""
+    import mlprobs_tpu.align.pairwise as pw
+
+    rng = np.random.default_rng(7)
+    seqs = [np.asarray(rng.integers(0, 20, n), np.int8)
+            for n in (17, 23, 11)]
+
+    def run(engine):
+        monkeypatch.setattr(pw, "_ENGINE", engine)
+        out = {}
+        for (i, j), csr, score, nb in pw.all_pairs_posteriors(
+            seqs, mode="mix", leave_prob=0.3, with_matches=True
+        ):
+            out[(i, j)] = (csr.toarray(), score, nb)
+        return out
+
+    wfp = run("wavefront")
+    scn = run("scan")
+    assert wfp.keys() == scn.keys()
+    for k in wfp:
+        aw, sw, nw = wfp[k]
+        as_, ss, ns = scn[k]
+        assert ns == nw
+        np.testing.assert_allclose(sw, ss, rtol=1e-4, atol=1e-4)
+        # supports differ (per-diagonal vs per-row top-k) but shared
+        # entries carry the same posterior values
+        both = (aw > 0) & (as_ > 0)
+        np.testing.assert_allclose(
+            aw[both], as_[both], rtol=2e-3, atol=2e-5
+        )
+        # the strong entries (>= 10 * cutoff) must agree as a set
+        strong_w = set(map(tuple, np.argwhere(aw >= 0.1)))
+        strong_s = set(map(tuple, np.argwhere(as_ >= 0.1)))
+        assert strong_w == strong_s
