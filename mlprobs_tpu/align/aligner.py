@@ -52,28 +52,19 @@ def family_viterbi_stats(
     alignments, average SP over all alignment columns, peak-length ratio
     (theta = 1.0) and factor = 2N - avg_alignment_len.
     """
-    import jax.numpy as jnp
-
     from mlprobs_tpu.utils import native
 
     n = len(seqs)
     npairs = n * (n - 1) // 2
     bl = np.asarray(mp.blosum62(), dtype=np.float64)
     pair_list = [(i, j) for i in range(n) for j in range(i + 1, n)]
-    pl = pairwise.local_dict()
-    vfn = pairwise._viterbi_fn()
     pids_all: list[np.ndarray] = []
     total_len = 0
     max_len = 0
     cap = 2 * max(len(s) for s in seqs) + 2
     col_acc = np.zeros(cap, dtype=np.float64)
     sp_sum, sp_cols = 0.0, 0.0
-    for chunk, X, Y, LX, LY in pairwise.iter_pair_batches(seqs, pair_list):
-        dirs, ends, _ = vfn(jnp.asarray(X), jnp.asarray(Y),
-                            jnp.asarray(LX), jnp.asarray(LY), pl)
-        nb = len(chunk)
-        dirs = np.asarray(dirs)[:nb]
-        ends = np.asarray(ends)[:nb]
+    for chunk, dirs, ends in pairwise.viterbi_batches(seqs, pair_list):
         res = native.viterbi_features_batch(
             dirs, ends,
             [seqs[i] for i, _ in chunk], [seqs[j] for _, j in chunk],

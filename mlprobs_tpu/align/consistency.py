@@ -121,7 +121,14 @@ def relax_sparse(
     reps: int = 2,
     cutoff: float = CUTOFF,
 ) -> dict[tuple[int, int], sp.csr_matrix]:
-    """`reps` rounds of the consistency transform on CSR posteriors."""
+    """`reps` rounds of the consistency transform on CSR posteriors.
+
+    Dispatches to the native OpenMP kernel (relax_native) when the
+    runtime is available; the scipy block-matrix path below is the
+    oracle/fallback."""
+    out = relax_native(posts, lengths, reps=reps, cutoff=cutoff)
+    if out is not None:
+        return out
     n = len(lengths)
     offs = np.concatenate([[0], np.cumsum(lengths)])
     current = posts
@@ -164,6 +171,13 @@ def relax_sparse_weighted(
     below its threshold — the realign-block regime), enabling the fast
     single-block-product path.
     """
+    out = relax_native(
+        posts, lengths, reps=reps, cutoff=cutoff, weights=weights,
+        selfweight=selfweight, selectivity=selectivity,
+        distances=distances,
+    )
+    if out is not None:
+        return out
     n = len(lengths)
     offs = np.concatenate([[0], np.cumsum(lengths)])
     w = np.asarray(weights, dtype=np.float64)
@@ -233,3 +247,123 @@ def relax_dense_device(post_tensor, num_seqs: int, cutoff: float = CUTOFF):
     lp = s.shape[-1]
     ident = jnp.eye(lp)[None, None, :, :] * eye
     return r + ident
+
+
+def _pack_cells(
+    posts: dict[tuple[int, int], sp.csr_matrix], lengths: list[int]
+):
+    """Flatten all ordered cells (i, j), i != j, into shared CSR pools.
+
+    Lower cells hold transposes.  Returns (cell_ptr, cell_dat,
+    indptr_pool, indices_pool, data_pool).
+    """
+    n = len(lengths)
+    cells: dict[tuple[int, int], sp.csr_matrix] = {}
+    for (i, j), s in posts.items():
+        s32 = sp.csr_matrix(s, dtype=np.float32)
+        cells[(i, j)] = s32
+        cells[(j, i)] = s32.T.tocsr()
+    cell_ptr = np.zeros(n * n, dtype=np.int64)
+    cell_dat = np.zeros(n * n, dtype=np.int64)
+    indptrs, indices, datas = [], [], []
+    po = 0
+    do = 0
+    for i in range(n):
+        for j in range(n):
+            if i == j or (i, j) not in cells:
+                # unused cell: point at a shared empty indptr
+                continue
+            s = cells[(i, j)]
+            c = i * n + j
+            cell_ptr[c] = po
+            cell_dat[c] = do
+            indptrs.append(s.indptr.astype(np.int32))
+            indices.append(s.indices.astype(np.int32))
+            datas.append(s.data.astype(np.float32))
+            po += len(s.indptr)
+            do += len(s.data)
+    return (
+        cell_ptr, cell_dat,
+        np.concatenate(indptrs), np.concatenate(indices),
+        np.concatenate(datas),
+    )
+
+
+def relax_native(
+    posts: dict[tuple[int, int], sp.csr_matrix],
+    lengths: list[int],
+    reps: int = 2,
+    cutoff: float = CUTOFF,
+    weights: np.ndarray | None = None,
+    selfweight: float = 3.0,
+    selectivity: float = 200.0,
+    distances: np.ndarray | None = None,
+) -> dict[tuple[int, int], sp.csr_matrix] | None:
+    """Relaxation rounds via the native OpenMP kernel.
+
+    weights=None selects the plain baseMSA transform
+    (R = (2P + sum_z P_iz P_zj)/N, MSA.cpp:1172-1281); otherwise the
+    QuickProbs weighted transform with the stochastic z-filter
+    (ConsistencyStage.cpp:133-259).  Returns None if the native runtime
+    is unavailable (callers fall back to the scipy implementations).
+    """
+    from mlprobs_tpu.utils import native
+
+    if native.lib() is None:
+        return None
+    n = len(lengths)
+    pair_list = sorted(posts.keys())
+    npairs = len(pair_list)
+    pair_ij = np.asarray(pair_list, dtype=np.int32)
+    self_coef = np.zeros(npairs, dtype=np.float32)
+    z_scale = np.zeros(npairs, dtype=np.float32)
+    w_eff = np.zeros((npairs, n), dtype=np.float32)
+
+    if weights is None:
+        self_coef[:] = 2.0 / n
+        z_scale[:] = 1.0 / n
+        for p, (i, j) in enumerate(pair_list):
+            w_eff[p, :] = 1.0
+            w_eff[p, i] = 0.0
+            w_eff[p, j] = 0.0
+    else:
+        w = np.asarray(weights, dtype=np.float64)
+        for p, (i, j) in enumerate(pair_list):
+            if distances is None:
+                accepted = [z for z in range(n) if z not in (i, j)]
+            else:
+                accepted = z_acceptance(
+                    distances, i, j,
+                    seed=(i * n + j) % (PM_MOD - 1) + 1,
+                    selectivity=selectivity,
+                )
+            wij = 1.0 + (selfweight - 1.0) * len(accepted) / selectivity
+            wij *= w[i] + w[j]
+            sum_w = 1.0 + sum(w[z] for z in accepted) / wij
+            self_coef[p] = 1.0 / sum_w
+            z_scale[p] = 1.0 / (wij * sum_w)
+            w_eff[p, accepted] = w[accepted]
+
+    lengths32 = np.asarray(lengths, dtype=np.int32)
+    current = posts
+    for _ in range(reps):
+        cp, cd, ipp, ixp, dap = _pack_cells(current, lengths)
+        out = native.relax_all_pairs(
+            n, lengths32, cp, cd, ipp, ixp, dap,
+            pair_ij, self_coef, z_scale, w_eff, cutoff,
+        )
+        if out is None:
+            return None
+        new = {}
+        for (i, j) in pair_list:
+            c = i * n + j
+            s = current[(i, j)]
+            start = cd[c]
+            data = out[start : start + s.nnz]
+            blk = sp.csr_matrix(
+                (data, s.indices.copy(), s.indptr.copy()), shape=s.shape
+            )
+            blk.eliminate_zeros()
+            new[(i, j)] = blk
+        current = new
+    return current

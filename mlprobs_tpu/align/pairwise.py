@@ -357,6 +357,55 @@ def _all_pairs_posteriors_wf(seqs, mode, leave_prob, pairs, with_matches):
                 yield (i, j), csr, float(score[k])
 
 
+def _unskew_dirs_batch(dirs_skew: np.ndarray) -> np.ndarray:
+    """(D, B, W) skewed int8 planes -> (B, W, W) padded direction grids.
+
+    unskew[i, j] = skew[i + j, j]: a strided view per pair (row stride
+    sd, column stride sd + sj), materialised once per batch.
+    """
+    D, B, W = dirs_skew.shape
+    sd, sb, sj = dirs_skew.strides
+    out = np.empty((B, W, W), np.int8)
+    for k in range(B):
+        out[k] = np.lib.stride_tricks.as_strided(
+            dirs_skew[:, k, :], shape=(W, W), strides=(sd, sd + sj)
+        )
+    return out
+
+
+def viterbi_batches(
+    seqs: Sequence[np.ndarray],
+    pairs: Sequence[tuple[int, int]],
+) -> Iterator[tuple[list[tuple[int, int]], np.ndarray, np.ndarray]]:
+    """Yield (pair_chunk, dirs (nb, W, W) int8, end_states (nb,)) batches.
+
+    Directions use the packed-bit layout of ops/viterbi.viterbi_local,
+    unskewed to padded (W, W) grids regardless of engine.
+    """
+    pl = local_dict()
+    if _ENGINE == "wavefront":
+        vinit = jnp.asarray(viterbi.VIT_INIT)
+        for chunk, X, Y, LX, LY in iter_pair_batches(
+            seqs, pairs, batch_fn=_wf_batch_size
+        ):
+            dirs_s, ends, _ = wavefront.viterbi_wavefront(
+                jnp.asarray(X), jnp.asarray(Y), jnp.asarray(LX),
+                jnp.asarray(LY), pl, vinit,
+            )
+            nb = len(chunk)
+            dirs = _unskew_dirs_batch(np.asarray(dirs_s))[:nb]
+            yield chunk, dirs, np.asarray(ends)[:nb]
+        return
+    fn = _viterbi_fn()
+    for chunk, X, Y, LX, LY in iter_pair_batches(seqs, pairs):
+        dirs, end_state, _ = fn(
+            jnp.asarray(X), jnp.asarray(Y), jnp.asarray(LX),
+            jnp.asarray(LY), pl
+        )
+        nb = len(chunk)
+        yield chunk, np.asarray(dirs)[:nb], np.asarray(end_state)[:nb]
+
+
 def all_pairs_viterbi(
     seqs: Sequence[np.ndarray],
     pairs: Sequence[tuple[int, int]] | None = None,
@@ -365,15 +414,7 @@ def all_pairs_viterbi(
     n = len(seqs)
     if pairs is None:
         pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
-    pl = local_dict()
-    fn = _viterbi_fn()
-    for chunk, X, Y, LX, LY in iter_pair_batches(seqs, pairs):
-        dirs, end_state, _ = fn(
-            jnp.asarray(X), jnp.asarray(Y), jnp.asarray(LX),
-            jnp.asarray(LY), pl
-        )
-        dirs = np.asarray(dirs)
-        ends = np.asarray(end_state)
+    for chunk, dirs, ends in viterbi_batches(seqs, pairs):
         for k, (i, j) in enumerate(chunk):
             li, lj = len(seqs[i]), len(seqs[j])
             yield (i, j), dirs[k, : li + 1, : lj + 1], int(ends[k])

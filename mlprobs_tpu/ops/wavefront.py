@@ -536,3 +536,121 @@ def topk_skew(p_skew, k, cutoff):
     masked = jnp.where(p_skew >= cutoff, p_skew, 0.0)
     vals, idx = jax.lax.top_k(masked, k)
     return vals, idx.astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Viterbi (log-space max-plus wavefront)
+# ---------------------------------------------------------------------------
+
+LOG_ZERO = -1e30
+
+
+def _log_pad_class(tab):
+    """LOG_ZERO row/col PAD of a (21, ...) log table."""
+    tab = tab.at[PAD].set(LOG_ZERO)
+    if tab.ndim == 2 and tab.shape[1] == 21:
+        tab = tab.at[:, PAD].set(LOG_ZERO)
+    return tab
+
+
+@jax.jit
+def viterbi_wavefront(xp, yp, lx, ly, p, vinit):
+    """3-state local-model Viterbi as a log-space max-plus wavefront.
+
+    Same semantics (recurrences, tie-breaks, packed direction bits) as
+    ops/viterbi.viterbi_local — max-plus needs no transcendentals, so
+    the whole step body is adds/maxes (ComputeViterbiAlignment,
+    ProbabilisticModel.h:1043+).
+
+    Returns (dirs (D, B, W) int8 skewed, end_state (B,) int32,
+    score (B,) f32).  dirs[d, b, j] is grid cell (d - j, j); unskew on
+    the host with a strided view (align.pairwise._unskew_dirs).
+    """
+    B, Lp = xp.shape
+    W = Lp + 1
+    D = 2 * Lp + 1
+    lane = jnp.arange(W, dtype=jnp.int32)[None, :]
+
+    lm = _log_pad_class(p["lmatch"])
+    lins = p["lins"].at[PAD].set(LOG_ZERO)
+    lt = p["trans"]
+
+    xflip = xp[:, ::-1]
+    padb = jnp.full((B, Lp + 1), PAD, xp.dtype)
+    xfeed = jnp.concatenate([padb, xflip, padb], axis=1)
+    ygrid = jnp.concatenate(
+        [jnp.full((B, 1), PAD, yp.dtype), yp], axis=1
+    )
+    oh_y = _onehot21(ygrid)
+    colt = jnp.einsum(
+        "bwc,dc->bwd", oh_y, lm, preferred_element_type=jnp.float32
+    )                                               # (B, W, 21)
+    liy = jnp.einsum(
+        "bwc,c->bw", oh_y, lins, preferred_element_type=jnp.float32
+    )                                               # (B, W)
+    lixfeed = jnp.einsum(
+        "btc,c->bt", _onehot21(xfeed), lins,
+        preferred_element_type=jnp.float32,
+    )                                               # (B, 3Lp+2)
+
+    dterm = (lx + ly).astype(jnp.int32)
+    term_sel = (lane == ly[:, None]).astype(jnp.float32)
+    zrow = jnp.full((B, W), LOG_ZERO)
+    zs = jnp.zeros((B,), jnp.float32)
+
+    def step(carry, d):
+        m1, x1, y1, m2, x2, y2, term = carry
+        start = Lp - d + (Lp + 1)
+        xrow = jax.lax.dynamic_slice(xfeed, (0, start), (B, W))
+        em = jnp.einsum(
+            "bwc,bwc->bw", _onehot21(xrow), colt,
+            preferred_element_type=jnp.float32,
+        )
+        lix = jax.lax.dynamic_slice(lixfeed, (0, start), (B, W))
+
+        cm = _shift1(m2) + lt[0, 0]
+        cx = _shift1(x2) + lt[1, 0]
+        cy = _shift1(y2) + lt[2, 0]
+        m_new = em + jnp.maximum(jnp.maximum(cm, cx), cy)
+        tb_m = jnp.where(
+            (cm >= cx) & (cm >= cy), 0, jnp.where(cx >= cy, 1, 2)
+        )
+        from_m = m1 + lt[0, 1]
+        from_x = x1 + lt[1, 1]
+        x_new = lix + jnp.maximum(from_m, from_x)
+        tb_x = (from_m < from_x).astype(jnp.int32)
+        # Y(i, j): both predecessors (M/Y at (i, j-1)) sit at diag d-1,
+        # lane j-1
+        ym = _shift1(m1) + lt[0, 2]
+        yy = _shift1(y1) + lt[2, 2]
+        y_new = liy + jnp.maximum(ym, yy)
+        tb_y = (ym < yy).astype(jnp.int32)
+
+        at0 = (d == 0) & (lane == 0)
+        m_new = jnp.where(at0, vinit[0], m_new)
+        x_new = jnp.where(at0, vinit[1], x_new)
+        y_new = jnp.where(at0, vinit[2], y_new)
+
+        dirs = (tb_m + 4 * tb_x + 8 * tb_y).astype(jnp.int8)
+        at_term = (d == dterm).astype(jnp.float32)
+        cap = jnp.stack(
+            [jnp.sum(v * term_sel, axis=1) for v in (m_new, x_new, y_new)],
+            axis=1,
+        )                                           # (B, 3)
+        term = term * (1.0 - at_term[:, None]) + at_term[:, None] * cap
+        return (m_new, x_new, y_new, m1, x1, y1, term), dirs
+
+    carry0 = (zrow, zrow, zrow, zrow, zrow, zrow, jnp.zeros((B, 3)))
+    (m1, x1, y1, m2, x2, y2, term), dirs = jax.lax.scan(
+        step, carry0, jnp.arange(D, dtype=jnp.int32)
+    )
+    final = term + vinit[None, :]
+    end_state = jnp.where(
+        (final[:, 0] >= final[:, 1]) & (final[:, 0] >= final[:, 2]),
+        0,
+        jnp.where(final[:, 1] >= final[:, 2], 1, 2),
+    ).astype(jnp.int32)
+    score = jnp.sum(
+        final * (end_state[:, None] == jnp.arange(3)[None, :]), axis=1
+    )
+    return dirs, end_state, score

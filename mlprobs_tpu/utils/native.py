@@ -123,3 +123,50 @@ def viterbi_features_batch(
         sp.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
     )
     return pids, lengths, max_len, float(sp[0]), float(sp[1])
+
+
+def relax_all_pairs(
+    n: int,
+    lengths: np.ndarray,        # (n,) int32
+    cell_ptr: np.ndarray,       # (n*n,) int64
+    cell_dat: np.ndarray,       # (n*n,) int64
+    indptr_pool: np.ndarray,    # int32
+    indices_pool: np.ndarray,   # int32
+    data_pool: np.ndarray,      # float32
+    pair_ij: np.ndarray,        # (npairs, 2) int32
+    self_coef: np.ndarray,      # (npairs,) float32
+    z_scale: np.ndarray,        # (npairs,) float32
+    w_eff: np.ndarray,          # (npairs, n) float32
+    cutoff: float,
+) -> np.ndarray | None:
+    """One relaxation round over all pairs; returns the output data pool
+    (same layout as data_pool; only the upper pairs' regions written)."""
+    L = lib()
+    if L is None or not hasattr(L, "relax_all_pairs"):
+        return None
+    f32p = ctypes.POINTER(ctypes.c_float)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    L.relax_all_pairs.restype = None
+    L.relax_all_pairs.argtypes = [
+        ctypes.c_int, i32p, i64p, i64p, i32p, i32p, f32p,
+        ctypes.c_int, i32p, f32p, f32p, f32p, ctypes.c_float, f32p,
+    ]
+    out = np.zeros_like(data_pool)
+    L.relax_all_pairs(
+        n,
+        lengths.ctypes.data_as(i32p),
+        cell_ptr.ctypes.data_as(i64p),
+        cell_dat.ctypes.data_as(i64p),
+        indptr_pool.ctypes.data_as(i32p),
+        indices_pool.ctypes.data_as(i32p),
+        data_pool.ctypes.data_as(f32p),
+        len(pair_ij),
+        pair_ij.ctypes.data_as(i32p),
+        self_coef.ctypes.data_as(f32p),
+        z_scale.ctypes.data_as(f32p),
+        w_eff.ctypes.data_as(f32p),
+        ctypes.c_float(cutoff),
+        out.ctypes.data_as(f32p),
+    )
+    return out

@@ -11,7 +11,121 @@
 #include <cstring>
 #include <vector>
 
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
 extern "C" {
+
+// ---------------------------------------------------------------------------
+// Probabilistic-consistency relaxation over sparse posteriors.
+//
+// The reference's hottest host transform (MSA::DoRelaxation,
+// MSA.cpp:1172-1360; QuickProbs ConsistencyStage.cpp:133-334): for each
+// aligned pair (i, j),
+//
+//   R_ij = self_coef[p] * P_ij + z_scale[p] * sum_z w_eff[p,z] P_iz P_zj
+//
+// masked to the original support of P_ij and thresholded at `cutoff`
+// (support never grows, so outputs reuse the input index structure).
+// self_coef / z_scale / w_eff encode both variants: the plain baseMSA
+// transform (self=2/N, scale=1/N, w=1 for z != i,j) and the QuickProbs
+// weighted one (self=1/sumW, scale=1/(Wij*sumW), w_z = ClustalW weight,
+// zeroed for z rejected by the stochastic selectivity filter).
+//
+// Cell storage: all ordered cells (i, j), i != j, as CSR over a shared
+// pool; cell c = i*n + j has indptr at indptr_pool + cell_ptr[c]
+// (lengths[i] + 1 entries) and indices/data at indices_pool/data_pool +
+// cell_dat[c].  Lower cells hold precomputed transposes.  Results are
+// written to out_data at the same offsets as the upper pair's data.
+//
+// Parallelism: OpenMP dynamic over pairs — the exact analogue of the
+// reference's `#pragma omp parallel for schedule(dynamic)` pair loops.
+// A per-thread epoch-stamped dense scratch row avoids per-row memsets.
+void relax_all_pairs(
+    int n,
+    const int32_t* lengths,
+    const int64_t* cell_ptr,    // (n*n,) offsets into indptr_pool
+    const int64_t* cell_dat,    // (n*n,) offsets into indices/data pools
+    const int32_t* indptr_pool,
+    const int32_t* indices_pool,
+    const float* data_pool,
+    int npairs,
+    const int32_t* pair_ij,     // (npairs, 2)
+    const float* self_coef,     // (npairs,)
+    const float* z_scale,       // (npairs,)
+    const float* w_eff,         // (npairs * n)
+    float cutoff,
+    float* out_data             // same layout as data_pool (upper cells)
+) {
+    int max_len = 0;
+    for (int i = 0; i < n; ++i)
+        if (lengths[i] > max_len) max_len = lengths[i];
+
+#pragma omp parallel
+    {
+        std::vector<float> acc((size_t)max_len, 0.0f);
+        std::vector<int32_t> stamp((size_t)max_len, -1);
+        int32_t epoch = -1;
+
+#pragma omp for schedule(dynamic)
+        for (int p = 0; p < npairs; ++p) {
+            const int i = pair_ij[2 * p];
+            const int j = pair_ij[2 * p + 1];
+            const int li = lengths[i];
+            const float sc = self_coef[p];
+            const float zs = z_scale[p];
+            const float* we = w_eff + (size_t)p * n;
+
+            const int64_t cij = (int64_t)i * n + j;
+            const int32_t* ip_ij = indptr_pool + cell_ptr[cij];
+            const int32_t* ix_ij = indices_pool + cell_dat[cij];
+            const float* da_ij = data_pool + cell_dat[cij];
+            float* out = out_data + cell_dat[cij];
+
+            for (int r = 0; r < li; ++r) {
+                const int s0 = ip_ij[r], s1 = ip_ij[r + 1];
+                if (s0 == s1) continue;
+                ++epoch;
+                // accumulate sum_z w_z * (row r of P_iz) @ P_zj
+                for (int z = 0; z < n; ++z) {
+                    const float wz = we[z];
+                    if (wz == 0.0f) continue;
+                    const int64_t ciz = (int64_t)i * n + z;
+                    const int32_t* ip_a = indptr_pool + cell_ptr[ciz];
+                    const int32_t a0 = ip_a[r], a1 = ip_a[r + 1];
+                    if (a0 == a1) continue;
+                    const int32_t* ix_a = indices_pool + cell_dat[ciz];
+                    const float* da_a = data_pool + cell_dat[ciz];
+                    const int64_t czj = (int64_t)z * n + j;
+                    const int32_t* ip_b = indptr_pool + cell_ptr[czj];
+                    const int32_t* ix_b = indices_pool + cell_dat[czj];
+                    const float* da_b = data_pool + cell_dat[czj];
+                    for (int a = a0; a < a1; ++a) {
+                        const int m = ix_a[a];
+                        const float va = wz * da_a[a];
+                        const int b0 = ip_b[m], b1 = ip_b[m + 1];
+                        for (int b = b0; b < b1; ++b) {
+                            const int c = ix_b[b];
+                            if (stamp[c] != epoch) {
+                                stamp[c] = epoch;
+                                acc[c] = 0.0f;
+                            }
+                            acc[c] += va * da_b[b];
+                        }
+                    }
+                }
+                // emit at the support of P_ij only
+                for (int s = s0; s < s1; ++s) {
+                    const int c = ix_ij[s];
+                    const float z_sum = (stamp[c] == epoch) ? acc[c] : 0.0f;
+                    const float v = sc * da_ij[s] + zs * z_sum;
+                    out[s] = (v < cutoff) ? 0.0f : v;
+                }
+            }
+        }
+    }
+}
 
 // Walk one MWT direction matrix (0=diag, 1=left, 2=up) from (lx, ly).
 // dirs has row stride `stride`. Writes path codes (0='B',1='X',2='Y')

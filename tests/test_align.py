@@ -59,8 +59,10 @@ def test_consistency_matches_dense_reference():
         acc /= n
         acc[dense[(i, j)] < 0.01] = 0.0
         acc[acc < 0.01] = 0.0
+        # the native kernel accumulates in f32, like the reference's
+        # float SparseMatrix (MSA.cpp); tolerance sized accordingly
         np.testing.assert_allclose(
-            got[(i, j)].toarray(), acc, atol=1e-10
+            got[(i, j)].toarray(), acc, rtol=2e-5, atol=2e-6
         )
 
 
@@ -132,3 +134,55 @@ def test_align_graph_validity():
     assert out.num_seqs == 3
     for k, s in enumerate(seqs):
         assert decode(out.rows[k]).replace("-", "") == s
+
+
+def test_native_relaxation_matches_scipy():
+    """The OpenMP relaxation kernel reproduces the scipy block-matrix
+    oracle (plain and weighted variants)."""
+    import numpy as np
+    import scipy.sparse as sp
+    from mlprobs_tpu.align import consistency as cons
+    from mlprobs_tpu.utils import native
+
+    if native.lib() is None:
+        import pytest
+
+        pytest.skip("native runtime unavailable")
+
+    rng = np.random.default_rng(3)
+    lengths = [13, 9, 17, 11]
+    n = len(lengths)
+    posts = {}
+    for i in range(n):
+        for j in range(i + 1, n):
+            dense = rng.random((lengths[i], lengths[j])).astype(np.float32)
+            dense[dense < 0.85] = 0.0
+            posts[(i, j)] = sp.csr_matrix(dense)
+
+    got = cons.relax_native(posts, lengths, reps=2)
+    # run the scipy oracle by calling the fallback body directly
+    import mlprobs_tpu.utils.native as nat
+
+    orig = nat.lib
+    nat.lib = lambda: None
+    try:
+        want = cons.relax_sparse(posts, lengths, reps=2)
+    finally:
+        nat.lib = orig
+    assert got.keys() == want.keys()
+    for k in got:
+        np.testing.assert_allclose(
+            got[k].toarray(), want[k].toarray(), rtol=2e-5, atol=2e-6
+        )
+
+    w = rng.random(n) + 0.5
+    gotw = cons.relax_native(posts, lengths, reps=1, weights=w)
+    nat.lib = lambda: None
+    try:
+        wantw = cons.relax_sparse_weighted(posts, lengths, w, reps=1)
+    finally:
+        nat.lib = orig
+    for k in gotw:
+        np.testing.assert_allclose(
+            gotw[k].toarray(), wantw[k].toarray(), rtol=2e-5, atol=2e-6
+        )

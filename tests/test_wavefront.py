@@ -204,3 +204,41 @@ def test_all_pairs_posteriors_engines_agree(monkeypatch):
         strong_w = set(map(tuple, np.argwhere(aw >= 0.1)))
         strong_s = set(map(tuple, np.argwhere(as_ >= 0.1)))
         assert strong_w == strong_s
+
+
+def test_viterbi_wavefront_matches_rowscan():
+    from mlprobs_tpu.ops import viterbi as vit
+
+    X, Y, lx, ly = _batch(seed=8)
+    pl = pairwise.local_dict()
+    dirs_s, ends_s, score_s = wavefront.viterbi_wavefront(
+        X, Y, lx, ly, pl, jnp.asarray(vit.VIT_INIT)
+    )
+    dirs_s = np.asarray(dirs_s)
+    B, lp = X.shape
+
+    vfn = pairwise._viterbi_fn()
+    dirs_r, ends_r, score_r = vfn(X, Y, lx, ly, pl)
+    dirs_r, ends_r = np.asarray(dirs_r), np.asarray(ends_r)
+
+    np.testing.assert_array_equal(np.asarray(ends_s), ends_r)
+    np.testing.assert_allclose(
+        np.asarray(score_s), np.asarray(score_r), rtol=1e-5, atol=1e-4
+    )
+    # direction bits must agree on every cell reachable by a traceback:
+    # compare along the actual optimal paths
+    from mlprobs_tpu.align.traceback import viterbi_traceback
+
+    for k in range(B):
+        li, lj = int(lx[k]), int(ly[k])
+        # unskew via strided view
+        plane = dirs_s[:, k, :]
+        sd, sj = plane.strides
+        unsk = np.lib.stride_tricks.as_strided(
+            plane, shape=(li + 1, lj + 1), strides=(sd, sd + sj)
+        ).copy()
+        path_w = viterbi_traceback(unsk, int(ends_s[k]), li, lj)
+        path_r = viterbi_traceback(
+            dirs_r[k, : li + 1, : lj + 1], int(ends_r[k]), li, lj
+        )
+        np.testing.assert_array_equal(path_w, path_r)

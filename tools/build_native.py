@@ -16,7 +16,7 @@ def build(force: bool = False) -> Path:
         if OUT.stat().st_mtime >= SRC.stat().st_mtime:
             return OUT
     cmd = [
-        "g++", "-O3", "-march=native", "-shared", "-fPIC",
+        "g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
         "-std=c++17", str(SRC), "-o", str(OUT),
     ]
     subprocess.run(cmd, check=True)
