@@ -64,6 +64,29 @@ def family_viterbi_stats(
     cap = 2 * max(len(s) for s in seqs) + 2
     col_acc = np.zeros(cap, dtype=np.float64)
     sp_sum, sp_cols = 0.0, 0.0
+
+    if pairwise._ENGINE == "wavefront":
+        # device traceback: only per-pair scalars + the per-step score
+        # table cross the host boundary
+        for chunk, plen, matches, scores_rev in (
+            pairwise.viterbi_stat_batches(seqs, pair_list, bl)
+        ):
+            for k in range(len(chunk)):
+                n_path = int(plen[k])
+                total_len += n_path
+                max_len = max(max_len, n_path)
+                pids_all.append(
+                    np.array([matches[k] / n_path if n_path else 0.0])
+                )
+                srev = scores_rev[:n_path, k]
+                col_acc[:n_path] += srev[::-1]
+                sp_sum += float(srev.sum())
+                sp_cols += n_path
+        return _finish_family_stats(
+            pids_all, n, npairs, total_len, max_len, col_acc,
+            sp_sum, sp_cols, with_features,
+        )
+
     for chunk, dirs, ends in pairwise.viterbi_batches(seqs, pair_list):
         res = native.viterbi_features_batch(
             dirs, ends,
@@ -99,6 +122,16 @@ def family_viterbi_stats(
                 col_acc[:plen] += scores
                 sp_sum += float(scores.sum())
                 sp_cols += plen
+    return _finish_family_stats(
+        pids_all, n, npairs, total_len, max_len, col_acc,
+        sp_sum, sp_cols, with_features,
+    )
+
+
+def _finish_family_stats(
+    pids_all, n, npairs, total_len, max_len, col_acc, sp_sum, sp_cols,
+    with_features,
+) -> FamilyStats:
     pids = np.concatenate(pids_all)
     avg = float(pids.mean())
     sd = float(np.sqrt(((pids - avg) ** 2).mean()))

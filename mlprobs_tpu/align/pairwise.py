@@ -406,6 +406,41 @@ def viterbi_batches(
         yield chunk, np.asarray(dirs)[:nb], np.asarray(end_state)[:nb]
 
 
+def viterbi_stat_batches(
+    seqs: Sequence[np.ndarray],
+    pairs: Sequence[tuple[int, int]],
+    blosum: np.ndarray,
+) -> Iterator[tuple[list[tuple[int, int]], np.ndarray, np.ndarray,
+                    np.ndarray]]:
+    """Device-resident Viterbi + traceback feature statistics.
+
+    Yields (pair_chunk, path_len (nb,), matches (nb,),
+    scores_rev (2*Lp, nb)) — the (D, B, W) direction planes never leave
+    the device (they are consumed by wavefront.viterbi_path_stats),
+    which matters because host transfers dominate wall-clock on a
+    tunneled chip.  Wavefront engine only.
+    """
+    pl = local_dict()
+    vinit = jnp.asarray(viterbi.VIT_INIT)
+    bl = jnp.asarray(blosum, jnp.float32)
+    for chunk, X, Y, LX, LY in iter_pair_batches(
+        seqs, pairs, batch_fn=_wf_batch_size
+    ):
+        Xd, Yd = jnp.asarray(X), jnp.asarray(Y)
+        LXd, LYd = jnp.asarray(LX), jnp.asarray(LY)
+        dirs_s, ends, _ = wavefront.viterbi_wavefront(
+            Xd, Yd, LXd, LYd, pl, vinit
+        )
+        plen, matches, scores_rev = wavefront.viterbi_path_stats(
+            dirs_s, ends, Xd, Yd, LXd, LYd, bl
+        )
+        nb = len(chunk)
+        yield (
+            chunk, np.asarray(plen)[:nb], np.asarray(matches)[:nb],
+            np.asarray(scores_rev)[:, :nb],
+        )
+
+
 def all_pairs_viterbi(
     seqs: Sequence[np.ndarray],
     pairs: Sequence[tuple[int, int]] | None = None,

@@ -654,3 +654,71 @@ def viterbi_wavefront(xp, yp, lx, ly, p, vinit):
         final * (end_state[:, None] == jnp.arange(3)[None, :]), axis=1
     )
     return dirs, end_state, score
+
+
+@jax.jit
+def viterbi_path_stats(dirs_skew, ends, xp, yp, lx, ly, blosum):
+    """Device traceback + feature accumulation over a Viterbi batch.
+
+    Walks every pair's optimal path simultaneously (one scan trip per
+    path step, all pairs in lockstep), accumulating the -G feature-pass
+    quantities (MSA.cpp Alter_ModelAdjustmentTest) without shipping the
+    (D, B, W) direction planes to the host — only (B,) scalars and a
+    (2*Lp, B) per-step score table (trip t = path position n-1-t).
+
+    Returns (pathlen (B,) int32, matches (B,) int32,
+             scores_rev (2*Lp, B) f32).
+    """
+    D, B, W = dirs_skew.shape
+    lp = W - 1
+    lane = jnp.arange(W, dtype=jnp.int32)[None, :]
+    bl21 = blosum.astype(jnp.float32)                # (21, 21)
+
+    def step(carry, _):
+        r, c, state, plen, matches = carry
+        active = (r > 0) | (c > 0)
+        drow = jnp.take_along_axis(
+            dirs_skew, (r + c)[None, :, None], axis=0
+        )[0].astype(jnp.int32)                       # (B, W)
+        dbits = jnp.sum(
+            jnp.where(lane == c[:, None], drow, 0), axis=1
+        )                                            # (B,)
+        is_m = state == 0
+        is_x = state == 1
+        nxt = jnp.where(
+            is_m, dbits & 3,
+            jnp.where(
+                is_x,
+                jnp.where(dbits & 4, 1, 0),
+                jnp.where(dbits & 8, 2, 0),
+            ),
+        )
+        xc = jnp.take_along_axis(
+            xp, jnp.maximum(r - 1, 0)[:, None], axis=1
+        )[:, 0].astype(jnp.int32)
+        yc = jnp.take_along_axis(
+            yp, jnp.maximum(c - 1, 0)[:, None], axis=1
+        )[:, 0].astype(jnp.int32)
+        is_b = active & is_m
+        matches = matches + jnp.where(is_b & (xc == yc), 1, 0)
+        s = jnp.sum(
+            _onehot21(xc) * bl21[:, yc].T, axis=1
+        )                                            # blosum[xc, yc]
+        s = jnp.where(
+            is_b & (xc < PAD) & (yc < PAD) & (s < 10.0), s, 0.0
+        )
+        plen = plen + active.astype(jnp.int32)
+        r_new = jnp.where(active & (is_m | is_x), r - 1, r)
+        c_new = jnp.where(active & (is_m | (state == 2)), c - 1, c)
+        state = jnp.where(active, nxt, state)
+        return (r_new, c_new, state, plen, matches), s
+
+    carry0 = (
+        lx.astype(jnp.int32), ly.astype(jnp.int32),
+        ends.astype(jnp.int32),
+        jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32),
+    )
+    (r, c, state, plen, matches), scores_rev = jax.lax.scan(
+        step, carry0, None, length=2 * lp
+    )
+    return plen, matches, scores_rev

@@ -242,3 +242,41 @@ def test_viterbi_wavefront_matches_rowscan():
             dirs_r[k, : li + 1, : lj + 1], int(ends_r[k]), li, lj
         )
         np.testing.assert_array_equal(path_w, path_r)
+
+
+def test_viterbi_path_stats_matches_host():
+    """Device traceback statistics == host traceback + feature loop."""
+    from mlprobs_tpu.align.traceback import viterbi_traceback
+    from mlprobs_tpu.models import params as mp
+    from mlprobs_tpu.ops import viterbi as vit
+
+    X, Y, lx, ly = _batch(seed=9)
+    pl = pairwise.local_dict()
+    bl = np.asarray(mp.blosum62(), dtype=np.float64)
+    dirs_s, ends, _ = wavefront.viterbi_wavefront(
+        X, Y, lx, ly, pl, jnp.asarray(vit.VIT_INIT)
+    )
+    plen, matches, srev = wavefront.viterbi_path_stats(
+        dirs_s, ends, X, Y, lx, ly, jnp.asarray(bl, jnp.float32)
+    )
+    plen, matches = np.asarray(plen), np.asarray(matches)
+    srev = np.asarray(srev)
+    dirs_np = np.asarray(dirs_s)
+    B, lp = X.shape
+    Xn, Yn = np.asarray(X), np.asarray(Y)
+    for k in range(B):
+        li, lj = int(lx[k]), int(ly[k])
+        sd, sj = dirs_np[:, k, :].strides
+        unsk = np.lib.stride_tricks.as_strided(
+            dirs_np[:, k, :], shape=(li + 1, lj + 1), strides=(sd, sd + sj)
+        ).copy()
+        path = viterbi_traceback(unsk, int(ends[k]), li, lj)
+        assert plen[k] == len(path)
+        a = Xn[k, np.cumsum(path != 2) - 1]
+        b = Yn[k, np.cumsum(path != 1) - 1]
+        is_b = path == 0
+        assert matches[k] == int(((a == b) & is_b).sum())
+        scores = np.where(is_b & (a < 20) & (b < 20), bl[a, b], 0.0)
+        scores = np.where(scores < 10, scores, 0.0)
+        got = srev[: len(path), k][::-1]
+        np.testing.assert_allclose(got, scores, atol=1e-6)
