@@ -149,7 +149,7 @@ _ENGINE = os.environ.get("MLPROBS_POSTERIOR_ENGINE", "wavefront")
 # HBM budget for the wavefront engine's skewed planes.  A mix-mode
 # batch holds ~8 (D, B, W) f32 planes (3 models x fwd/rev + combined
 # posterior + top-k staging), i.e. ~64*B*L^2 bytes.
-_WF_PLANE_BUDGET = int(6e9)
+_WF_PLANE_BUDGET = int(float(os.environ.get("MLPROBS_WF_BUDGET", 11e9)))
 
 
 def _wf_batch_size(lp: int) -> int:

@@ -41,8 +41,10 @@ def _pad_plane(r: np.ndarray, mult: int = 64) -> np.ndarray:
 
 
 # Planes below this area run the DP on the host: the device round-trip
-# latency (~100 ms over a tunneled chip) dwarfs the compute.
-HOST_MWT_AREA = 512 * 512
+# latency (~100 ms over a tunneled chip) dwarfs the compute.  The
+# vectorised host fill runs at ~50M cells/s, so even 2048^2 planes are
+# faster locally than one tunneled round trip.
+HOST_MWT_AREA = 2048 * 2048
 
 
 def _mwt_host(post: np.ndarray) -> tuple[np.ndarray, float]:
@@ -99,7 +101,6 @@ def build_profile_posterior(
     with cutoff 0 (MSA.cpp:38).
     """
     l1, l2 = group1.length, group2.length
-    out = np.zeros((l1, l2), dtype=np.float64)
     maps1 = [np.flatnonzero(group1.rows[a] >= 0) for a in range(group1.num_seqs)]
     maps2 = [np.flatnonzero(group2.rows[b] >= 0) for b in range(group2.num_seqs)]
     if weights is not None:
@@ -110,6 +111,9 @@ def build_profile_posterior(
         )
         if total_w == 0:
             total_w = 1
+    sub = None
+    flat_idx: list[np.ndarray] = []
+    flat_val: list[np.ndarray] = []
     for a in range(group1.num_seqs):
         la = int(group1.labels[a])
         for b in range(group2.num_seqs):
@@ -118,17 +122,35 @@ def build_profile_posterior(
             if weights is not None:
                 w = float(weights[la]) * float(weights[lb]) / total_w
             key = (la, lb) if la < lb else (lb, la)
-            s = posts[key].tocoo()
+            s = posts[key]
+            coo = s.__dict__.get("_coo_cache")
+            if coo is None:
+                c = s.tocoo()
+                coo = (c.row, c.col, c.data)
+                s._coo_cache = coo
+            srow, scol, sdata = coo
             if la < lb:
-                rows, cols = s.row, s.col
+                rows, cols = srow, scol
             else:
-                rows, cols = s.col, s.row
-            np.add.at(out, (maps1[a][rows], maps2[b][cols]), w * s.data)
+                rows, cols = scol, srow
+            flat_idx.append(
+                maps1[a][rows].astype(np.int64) * l2 + maps2[b][cols]
+            )
+            flat_val.append(w * sdata)
             if cutoff_sub:
                 # reference subtracts over ungapped rows x the first
                 # l2-1 ungapped columns (the mapping's 0 sentinel swallows
                 # one entry, ProbabilisticModel.h:1254)
-                out[np.ix_(maps1[a], maps2[b][:-1])] -= w * cutoff_sub
+                if sub is None:
+                    sub = np.zeros((l1, l2), dtype=np.float64)
+                sub[np.ix_(maps1[a], maps2[b][:-1])] -= w * cutoff_sub
+    out = np.bincount(
+        np.concatenate(flat_idx) if flat_idx else np.zeros(0, np.int64),
+        weights=np.concatenate(flat_val) if flat_val else None,
+        minlength=l1 * l2,
+    ).reshape(l1, l2)
+    if sub is not None:
+        out = out + sub
     return out.astype(np.float32)
 
 

@@ -18,33 +18,54 @@ from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from mlprobs_tpu.align import pairwise
-from mlprobs_tpu.ops import mwt, pairhmm, partition
+from mlprobs_tpu.ops import wavefront
 
 
-def _pair_posterior_and_score(x, y, lx, ly, p5, pl, pp):
-    v1 = pairhmm.hmm5_posterior(x, y, lx, ly, p5)
-    v2 = partition.partition_posterior(x, y, lx, ly, pp)
-    v3 = pairhmm.local_posterior(x, y, lx, ly, pl)
-    post = jnp.sqrt((v1 * v1 + v2 * v2 + v3 * v3) / 3.0)
-    _, score = mwt.mwt_align(post, lx, ly)
-    return post, score
+_MODELS = ("hmm5", "partition", "local")
 
 
 def make_sharded_posterior_step(mesh: Mesh):
     """Jitted (X, Y, LX, LY) -> (posteriors, scores), pairs-sharded.
 
-    X/Y: (B, Lp) int8 with B divisible by the mesh size; outputs keep the
-    same sharding, so downstream per-shard work stays chip-local.
+    X/Y: (B, Lp) int8 with B divisible by the mesh size; each chip runs
+    the fused wavefront engine (ops/wavefront.py) on its local shard of
+    pairs — pure data parallelism over the pair axis, the TPU mapping of
+    the reference's OpenMP pair loop (SURVEY §2.9).  Outputs keep the
+    pairs sharding, so downstream per-shard work stays chip-local.
+    Posteriors are returned unskewed (B, Lp, Lp).
     """
-    p5 = pairwise.hmm5_dict()
-    pl = pairwise.local_dict()
-    pp = pairwise.partition_dict()
-    vfn = jax.vmap(
-        _pair_posterior_and_score, in_axes=(0, 0, 0, 0, None, None, None)
-    )
+    tabs_f, tabs_r = pairwise._wf_tables("mix", None)
 
     def local_step(x, y, lx, ly):
-        return vfn(x, y, lx, ly, p5, pl, pp)
+        b, lp = x.shape
+        zero = jnp.zeros((b,), jnp.int32)
+        fwd = wavefront.wavefront_forward(
+            x, y, zero, zero, lx, ly, tabs_f,
+            models=_MODELS, emit_pre=False,
+        )
+        rev = wavefront.wavefront_forward(
+            x[:, ::-1], y[:, ::-1], lp - lx, lp - ly, lx, ly, tabs_r,
+            models=_MODELS, emit_pre=True,
+        )
+        acc = None
+        for m in _MODELS:
+            pm = wavefront.posterior_skew(fwd, rev, m)
+            acc = pm * pm if acc is None else acc + pm * pm
+        post = jnp.sqrt(acc / len(_MODELS))
+        score = wavefront.mwt_skew(post, lx, ly)
+        # unskew for the dense consistency consumer: tiny shapes only
+        # (the production host path keeps everything skewed)
+        w = lp + 1
+        i = jnp.arange(lp)[:, None]
+        wl = jnp.arange(w)[None, :]
+        # out1[b, i, wl] = post[i + wl + 1, b, wl]
+        unsk = jnp.take_along_axis(
+            jnp.moveaxis(post, 0, 1),
+            jnp.broadcast_to((i + wl + 1)[None], (b, lp, w)),
+            axis=1,
+        )
+        # out[b, i, j] = out1[b, i, j + 1] = post[i + j + 2, b, j + 1]
+        return unsk[:, :, 1:], score
 
     fn = shard_map(
         local_step,

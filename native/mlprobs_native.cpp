@@ -65,14 +65,13 @@ void relax_all_pairs(
 #pragma omp parallel
     {
         std::vector<float> acc((size_t)max_len, 0.0f);
-        std::vector<int32_t> stamp((size_t)max_len, -1);
-        int32_t epoch = -1;
 
 #pragma omp for schedule(dynamic)
         for (int p = 0; p < npairs; ++p) {
             const int i = pair_ij[2 * p];
             const int j = pair_ij[2 * p + 1];
             const int li = lengths[i];
+            const int lj = lengths[j];
             const float sc = self_coef[p];
             const float zs = z_scale[p];
             const float* we = w_eff + (size_t)p * n;
@@ -86,7 +85,7 @@ void relax_all_pairs(
             for (int r = 0; r < li; ++r) {
                 const int s0 = ip_ij[r], s1 = ip_ij[r + 1];
                 if (s0 == s1) continue;
-                ++epoch;
+                std::memset(acc.data(), 0, (size_t)lj * sizeof(float));
                 // accumulate sum_z w_z * (row r of P_iz) @ P_zj
                 for (int z = 0; z < n; ++z) {
                     const float wz = we[z];
@@ -106,20 +105,13 @@ void relax_all_pairs(
                         const float va = wz * da_a[a];
                         const int b0 = ip_b[m], b1 = ip_b[m + 1];
                         for (int b = b0; b < b1; ++b) {
-                            const int c = ix_b[b];
-                            if (stamp[c] != epoch) {
-                                stamp[c] = epoch;
-                                acc[c] = 0.0f;
-                            }
-                            acc[c] += va * da_b[b];
+                            acc[ix_b[b]] += va * da_b[b];
                         }
                     }
                 }
                 // emit at the support of P_ij only
                 for (int s = s0; s < s1; ++s) {
-                    const int c = ix_ij[s];
-                    const float z_sum = (stamp[c] == epoch) ? acc[c] : 0.0f;
-                    const float v = sc * da_ij[s] + zs * z_sum;
+                    const float v = sc * da_ij[s] + zs * acc[ix_ij[s]];
                     out[s] = (v < cutoff) ? 0.0f : v;
                 }
             }

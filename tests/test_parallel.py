@@ -32,16 +32,23 @@ def test_sharded_posterior_matches_single_device():
     step = make_sharded_posterior_step(mesh)
     posts, scores = step(Xs, Ys, LXs, LYs)
 
-    # single-device reference via the same per-pair function
+    # single-device reference via the row-scan oracle models
     from mlprobs_tpu.align import pairwise
-    from mlprobs_tpu.parallel.sharded import _pair_posterior_and_score
+    from mlprobs_tpu.ops import mwt, pairhmm, partition
 
     p5 = pairwise.hmm5_dict()
     pl = pairwise.local_dict()
     pp = pairwise.partition_dict()
-    ref_post, ref_score = jax.vmap(
-        _pair_posterior_and_score, in_axes=(0, 0, 0, 0, None, None, None)
-    )(X, Y, LX, LY, p5, pl, pp)
+
+    def one(x, y, lx, ly):
+        v1 = pairhmm.hmm5_posterior(x, y, lx, ly, p5)
+        v2 = partition.partition_posterior(x, y, lx, ly, pp)
+        v3 = pairhmm.local_posterior(x, y, lx, ly, pl)
+        post = jnp.sqrt((v1 * v1 + v2 * v2 + v3 * v3) / 3.0)
+        _, score = mwt.mwt_align(post, lx, ly)
+        return post, score
+
+    ref_post, ref_score = jax.vmap(one)(X, Y, LX, LY)
 
     np.testing.assert_allclose(
         np.asarray(posts), np.asarray(ref_post), atol=2e-4
