@@ -14,7 +14,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from mlprobs_tpu.align import pairwise
@@ -38,6 +38,13 @@ def make_sharded_posterior_step(mesh: Mesh):
 
     def local_step(x, y, lx, ly):
         b, lp = x.shape
+        # The wavefront engine's contract is PAD (=20) beyond the true
+        # length: the local model's start-anywhere injection is masked
+        # by bounds, but its emissions are not, so non-PAD garbage in
+        # the pad region leaks posterior mass.  Enforce it here.
+        col = jnp.arange(lp, dtype=jnp.int32)[None, :]
+        x = jnp.where(col < lx[:, None], x, wavefront.PAD).astype(x.dtype)
+        y = jnp.where(col < ly[:, None], y, wavefront.PAD).astype(y.dtype)
         zero = jnp.zeros((b,), jnp.int32)
         fwd = wavefront.wavefront_forward(
             x, y, zero, zero, lx, ly, tabs_f,
@@ -72,7 +79,7 @@ def make_sharded_posterior_step(mesh: Mesh):
         mesh=mesh,
         in_specs=(P("pairs"), P("pairs"), P("pairs"), P("pairs")),
         out_specs=(P("pairs"), P("pairs")),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn)
 
@@ -106,6 +113,6 @@ def make_sharded_consistency(mesh: Mesh, num_seqs: int,
         mesh=mesh,
         in_specs=P("pairs"),
         out_specs=P("pairs"),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn)

@@ -11,6 +11,35 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+def _ensure_cpnp_binary():
+    """Build the reference c_p_np_aln into /tmp so parity tests always run.
+
+    The strongest tests in the suite compare against the reference binary
+    (baseMSA/C_P_NP_Aln); it builds in ~30 s from the reference Makefile.
+    Kept out of pytest fixtures so the skip-guard in test_parity.py sees
+    the binary at collection time.
+    """
+    import shutil
+    import subprocess
+    from pathlib import Path
+
+    src = Path("/root/reference/baseMSA/C_P_NP_Aln")
+    dst = Path("/tmp/cpnp_build")
+    binary = dst / "c_p_np_aln"
+    if binary.exists() or not (src / "Makefile").exists():
+        return
+    dst.mkdir(parents=True, exist_ok=True)
+    for f in src.iterdir():
+        if f.suffix in (".cpp", ".h") or f.name == "Makefile":
+            shutil.copy2(f, dst / f.name)
+    subprocess.run(
+        ["make", "-j", str(os.cpu_count() or 2)],
+        cwd=dst, capture_output=True, timeout=600, check=False,
+    )
+
+
+_ensure_cpnp_binary()
+
 if not os.environ.get("MLPROBS_TEST_TPU"):
     os.environ["JAX_PLATFORMS"] = "cpu"
     # The axon sitecustomize hook imports jax before any user code, so

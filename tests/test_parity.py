@@ -15,8 +15,11 @@ from mlprobs_tpu.core.alphabet import degap, encode
 from mlprobs_tpu.core.fasta import parse_fasta, read_fasta
 
 CPNP = Path("/tmp/cpnp_build/c_p_np_aln")
+QPROBS = Path("/root/reference/realign/QuickProbs/bin/quickprobs")
 FAMS = Path("/root/reference/TEST/sabre/in")
 
+# conftest._ensure_cpnp_binary builds CPNP before collection, so this
+# only skips when the reference tree itself is unavailable.
 pytestmark = pytest.mark.skipif(
     not (CPNP.exists() and FAMS.exists()),
     reason="reference binary or test data unavailable",
@@ -51,3 +54,27 @@ def test_progressive_alignment_parity(fam):
     ref = dict(parse_fasta(_run_ref(["-p", "0", str(path)])))
     ours = dict(align_family(read_fasta(path), config="pnp").to_records())
     assert ref == ours
+
+
+@pytest.mark.skipif(not QPROBS.exists(), reason="quickprobs binary absent")
+@pytest.mark.parametrize("fam", ["sup_387", "twi_009"])
+def test_quickprobs_realigner_quality_parity(fam):
+    """Our quickprobs-config realigner vs the prebuilt reference binary.
+
+    Not byte-parity (the reference's per-pair mt19937 selectivity streams
+    are not reproduced); instead the two alignments must agree to high SP
+    — the acceptance criterion the pipeline itself applies to realigned
+    blocks (do_realign.py:64-70).
+    """
+    from mlprobs_tpu.bench.quality import sp_tc
+    from mlprobs_tpu.core.msa import MSA
+
+    path = FAMS / fam
+    out = subprocess.run(
+        [str(QPROBS), str(path)], capture_output=True, text=True,
+        timeout=300,
+    ).stdout
+    ref = MSA.from_records(parse_fasta(out))
+    ours = align_family(read_fasta(path), config="quickprobs")
+    sp, tc = sp_tc(ours, ref)
+    assert sp >= 0.90, f"SP vs quickprobs binary too low: {sp:.4f}"
