@@ -13,6 +13,7 @@ PosteriorStage.cpp:123-196) and a fixed small refinement budget.
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -156,6 +157,12 @@ def _finish_family_stats(
 _MODE_BY_PID = {0: "mix", 1: "mix", 2: "local", 3: "partition",
                 4: "partition"}
 
+# Consistency engine: "device" keeps posterior planes in HBM and runs
+# the relaxation as masked matmuls on the MXU (the TPU production path);
+# families over the HBM budget, tiny families, or "host" fall back to
+# the native-OpenMP / scipy CSR path.
+_CONS_ENGINE = os.environ.get("MLPROBS_CONSISTENCY_ENGINE", "device")
+
 
 def posterior_stage(
     seqs: list[np.ndarray], mode: str, leave_prob: float | None
@@ -240,7 +247,13 @@ def align_family(
 
         from mlprobs_tpu.align.tree_extra import subtree_distances
 
-        posts, dist = posterior_stage(seqs, "qp", None)
+        tensor = None
+        if _CONS_ENGINE == "device":
+            tensor = pairwise.device_posterior_tensor(seqs, "qp", None)
+        if tensor is not None:
+            posts, dist = None, tensor.dist
+        else:
+            posts, dist = posterior_stage(seqs, "qp", None)
         root = treelib.upgma(dist, variance_id=1)
         weights_f = treelib.clustalw_weights(root, n) / 100.0 + 1e-6
         c_reps = 2 if n <= 50 else 1
@@ -248,9 +261,16 @@ def align_family(
         # when some pair's tree distance exceeds the 200 threshold
         subd = subtree_distances(root, n)
         dist_arg = None if subd.max() <= 200.0 else subd
-        posts = cons.relax_sparse_weighted(
-            posts, lengths, weights_f, reps=c_reps, distances=dist_arg
-        )
+        if tensor is not None and dist_arg is None:
+            posts = tensor.relax_and_extract(
+                weights=weights_f, reps=c_reps
+            )
+        else:
+            if posts is None:  # stochastic-filter regime: host path
+                posts, _ = posterior_stage(seqs, "qp", None)
+            posts = cons.relax_sparse_weighted(
+                posts, lengths, weights_f, reps=c_reps, distances=dist_arg
+            )
         out = progressive.process_tree(
             root, msa, posts, weights_f, cutoff_sub=0.01
         )
@@ -258,9 +278,16 @@ def align_family(
         out = column_refinement(out, posts, weights_f, rng, iters)
         return out
 
-    posts, dist = posterior_stage(seqs, mode, leave)
+    tensor = None
+    if _CONS_ENGINE == "device":
+        tensor = pairwise.device_posterior_tensor(seqs, mode, leave)
+    if tensor is not None:
+        dist = tensor.dist
+        posts = tensor.relax_and_extract(reps=2)
+    else:
+        posts, dist = posterior_stage(seqs, mode, leave)
+        posts = cons.relax_sparse(posts, lengths, reps=2)
     root = treelib.upgma(dist, variance_id=vbit)
-    posts = cons.relax_sparse(posts, lengths, reps=2)
     out = progressive.compute_final_alignment(
         root, msa, posts, pid=pid, rng=rng, base_reps=base_reps
     )

@@ -17,6 +17,10 @@ Two equivalent implementations:
 """
 from __future__ import annotations
 
+import functools
+
+import jax
+import jax.numpy as jnp
 import numpy as np
 import scipy.sparse as sp
 
@@ -226,27 +230,69 @@ def relax_sparse_weighted(
     return current
 
 
-def relax_dense_device(post_tensor, num_seqs: int, cutoff: float = CUTOFF):
-    """One consistency round on a dense (N, N, Lp, Lp) tensor (jnp).
+# ---------------------------------------------------------------------------
+# Production device relaxation: batched masked matmuls on the MXU
+# ---------------------------------------------------------------------------
+#
+# Both reference transforms reduce to one parametrised update on a dense
+# (N, N, Lp, Lp) posterior tensor S with ZERO diagonal blocks (S_ii = 0
+# makes the z != i, j exclusion automatic):
+#
+#   R_ij = self_coef[i,j] * S_ij
+#          + z_scale[i,j] * sum_z w[z] * S_iz @ S_zj
+#
+# masked to support(S_ij >= cutoff) and re-thresholded — exactly the
+# parametrisation of the native OpenMP kernel (relax_native above), so
+# the two production engines share their coefficient computation.
+#
+#   baseMSA DoRelaxation (MSA.cpp:1172-1281):
+#       self_coef = 2/N, z_scale = 1/N, w = 1
+#   QuickProbs weighted accept-all (ConsistencyStage.cpp:133-259):
+#       wij = (1 + (sw-1)(N-2)/sel) * (w_i + w_j)
+#       sumW = 1 + (sum(w) - w_i - w_j)/wij
+#       self_coef = 1/sumW, z_scale = 1/(wij * sumW), w = weights
 
-    post_tensor must already have identity diagonal blocks and transposed
-    lower blocks; returns the re-thresholded tensor with identity diagonal
-    restored.  Runs the contraction as a z-chunked einsum on the MXU.
+
+def dense_relax_coeffs(
+    n: int,
+    weights: np.ndarray | None = None,
+    selfweight: float = 3.0,
+    selectivity: float = 200.0,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(self_coef (N,N), z_scale (N,N), w (N,)) for relax_dense_rounds."""
+    if weights is None:
+        sc = np.full((n, n), 2.0 / n, np.float32)
+        zs = np.full((n, n), 1.0 / n, np.float32)
+        return sc, zs, np.ones(n, np.float32)
+    w = np.asarray(weights, np.float64)
+    wi = w[:, None] + w[None, :]
+    wij = (1.0 + (selfweight - 1.0) * (n - 2) / selectivity) * wi
+    sum_w = 1.0 + (w.sum() - wi) / wij
+    return (
+        (1.0 / sum_w).astype(np.float32),
+        (1.0 / (wij * sum_w)).astype(np.float32),
+        w.astype(np.float32),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("reps",))
+def relax_dense_rounds(S, self_coef, z_scale, w, reps: int = 2,
+                       cutoff: float = CUTOFF):
+    """`reps` relaxation rounds on a zero-diagonal (N, N, Lp, Lp) tensor.
+
+    The z-contraction is one weighted batched matmul on the MXU; the
+    support mask and threshold follow each round (the reference masks to
+    the round's input sparsity pattern, MSA.cpp:1237-1261).
     """
-    import jax.numpy as jnp
-
-    s = post_tensor
-    n = s.shape[0]
-    r = jnp.einsum(
-        "izab,zjbc->ijac", s, s, preferred_element_type=jnp.float32
-    ) / num_seqs
-    support = s >= cutoff
-    eye = jnp.eye(n, dtype=bool)[:, :, None, None]
-    r = jnp.where(support & ~eye, r, 0.0)
-    r = jnp.where(r >= cutoff, r, 0.0)
-    lp = s.shape[-1]
-    ident = jnp.eye(lp)[None, None, :, :] * eye
-    return r + ident
+    for _ in range(reps):
+        prod = jnp.einsum(
+            "izab,z,zjbc->ijac", S, w, S,
+            preferred_element_type=jnp.float32,
+        )
+        r = (self_coef[:, :, None, None] * S
+             + z_scale[:, :, None, None] * prod)
+        S = jnp.where((S >= cutoff) & (r >= cutoff), r, 0.0)
+    return S
 
 
 def _pack_cells(

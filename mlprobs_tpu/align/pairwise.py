@@ -229,6 +229,156 @@ def topk_diag_to_csr(vals: np.ndarray, lanes: np.ndarray, li: int, lj: int):
     )
 
 
+@functools.lru_cache(maxsize=16)
+def _wf_dense_fn(models: tuple[str, ...]):
+    """Wavefront posterior emitting grid-space dense planes + MWT score.
+
+    Used by the device consistency path: planes never leave HBM between
+    the posterior stage and the relaxation contraction."""
+
+    def run(X, Y, LX, LY, tabs_f, tabs_r):
+        b, lp = X.shape
+        zero = jnp.zeros((b,), jnp.int32)
+        fwd = wavefront.wavefront_forward(
+            X, Y, zero, zero, LX, LY, tabs_f,
+            models=models, emit_pre=False,
+        )
+        rev = wavefront.wavefront_forward(
+            X[:, ::-1], Y[:, ::-1], lp - LX, lp - LY, LX, LY, tabs_r,
+            models=models, emit_pre=True,
+        )
+        if len(models) == 1:
+            post = wavefront.posterior_skew(fwd, rev, models[0])
+        else:
+            acc = None
+            for m in models:
+                p = wavefront.posterior_skew(fwd, rev, m)
+                acc = p * p if acc is None else acc + p * p
+            post = jnp.sqrt(acc / len(models))
+        score = wavefront.mwt_skew(post, LX, LY, with_matches=False)
+        dense = wavefront.unskew_posterior(post)
+        dense = jnp.where(dense >= CUTOFF, dense, 0.0)
+        return dense, score
+
+    return jax.jit(run)
+
+
+# Dense on-device consistency: entries kept per posterior row when the
+# relaxed tensor is pulled back to host CSR.  Posterior rows sum to <= 1,
+# so at most 100 entries can clear the 0.01 cutoff; 64 is lossless in
+# practice (and far above the reference's typical row occupancy).
+EXTRACT_TOPK = 64
+# HBM budget for the (N, N, Lp, Lp) posterior tensor (bytes).  The
+# relaxation needs ~2.5x this (input + einsum output + extraction
+# gather), so 4e9 keeps peak under ~10 GB on a 16 GB v5e chip.
+_CONS_BUDGET = int(float(os.environ.get("MLPROBS_CONS_BUDGET", 4e9)))
+
+
+@functools.lru_cache(maxsize=4)
+def _extract_topk_fn():
+    def run(planes):
+        vals, idx = jax.lax.top_k(planes, EXTRACT_TOPK)
+        return vals, idx.astype(jnp.int32)
+
+    return jax.jit(run)
+
+
+class DevicePosteriorTensor:
+    """HBM-resident all-pairs posterior tensor + MWT distances.
+
+    The TPU production path mandated by SURVEY §2.9: posterior planes are
+    computed by the wavefront engine and stay in HBM as a dense
+    zero-diagonal (N, N, Lp, Lp) tensor; the consistency relaxation runs
+    as batched masked matmuls on the MXU (MSA.cpp:1172-1360 /
+    ConsistencyStage.cpp:133-259 / RelaxationSector.cpp sector tiling),
+    and only the final sparse top-k extraction crosses to the host.
+    Unlike the host CSR path this feeds the *full* cutoff-thresholded
+    posterior (not a top-k subset) through the relaxation — the
+    reference's exact sparsity regime (SparseMatrix.h:14).
+    """
+
+    def __init__(self, S, pairs, dist, seq_lens):
+        self.S = S                  # (N, N, Lp, Lp) jnp, zero diagonal
+        self.pairs = pairs
+        self.dist = dist            # (N, N) np
+        self.seq_lens = seq_lens
+
+    def relax_and_extract(
+        self,
+        weights: np.ndarray | None = None,
+        selfweight: float = 3.0,
+        selectivity: float = 200.0,
+        reps: int = 2,
+    ) -> dict:
+        """Run `reps` relaxation rounds on device, return host CSRs."""
+        from mlprobs_tpu.align import consistency as cons
+
+        n = self.S.shape[0]
+        sc_, zs_, w_ = cons.dense_relax_coeffs(
+            n, weights, selfweight=selfweight, selectivity=selectivity
+        )
+        S = cons.relax_dense_rounds(
+            self.S, jnp.asarray(sc_), jnp.asarray(zs_), jnp.asarray(w_),
+            reps=reps,
+        )
+        ii = jnp.asarray([i for i, _ in self.pairs], jnp.int32)
+        jj = jnp.asarray([j for _, j in self.pairs], jnp.int32)
+        vals, idx = _extract_topk_fn()(S[ii, jj])
+        vals = np.asarray(vals)
+        idx = np.asarray(idx)
+        posts = {}
+        for k, (i, j) in enumerate(self.pairs):
+            li, lj = self.seq_lens[i], self.seq_lens[j]
+            posts[(i, j)] = topk_to_csr(vals[k], idx[k], li, lj)
+        return posts
+
+
+def device_posterior_tensor(
+    seqs: Sequence[np.ndarray],
+    mode: str,
+    leave_prob: float | None = None,
+) -> DevicePosteriorTensor | None:
+    """Build the HBM posterior tensor, or None when over budget."""
+    n = len(seqs)
+    if n < 3:
+        return None
+    lp = _bucket_len(max(len(s) for s in seqs))
+    if n * n * lp * lp * 4 > _CONS_BUDGET:
+        return None
+    if _ENGINE != "wavefront":
+        return None
+
+    pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
+    tabs_f, tabs_r = _wf_tables(mode, leave_prob)
+    fn = _wf_dense_fn(_MODE_MODELS[mode])
+    plane_chunks = []
+    dist = np.zeros((n, n))
+    for chunk, X, Y, LX, LY in iter_pair_batches(
+        seqs, pairs, batch_fn=_wf_batch_size
+    ):
+        dense, score = fn(
+            jnp.asarray(X), jnp.asarray(Y), jnp.asarray(LX),
+            jnp.asarray(LY), tabs_f, tabs_r,
+        )
+        plane_chunks.append(dense[: len(chunk)])
+        sc = np.asarray(score)
+        for k, (i, j) in enumerate(chunk):
+            d = 1.0 - sc[k] / min(len(seqs[i]), len(seqs[j]))
+            dist[i, j] = dist[j, i] = d
+    planes = (
+        jnp.concatenate(plane_chunks, axis=0)
+        if len(plane_chunks) > 1 else plane_chunks[0]
+    )
+    ii = jnp.asarray([i for i, _ in pairs], jnp.int32)
+    jj = jnp.asarray([j for _, j in pairs], jnp.int32)
+    S = jnp.zeros((n, n, lp, lp), jnp.float32)
+    S = S.at[ii, jj].set(planes)
+    S = S.at[jj, ii].set(jnp.swapaxes(planes, 1, 2))
+    return DevicePosteriorTensor(
+        S, pairs, dist, [len(s) for s in seqs]
+    )
+
+
 def _posterior_fn(mode: str, with_matches: bool = False):
     models = _MODE_MODELS[mode]
 

@@ -524,6 +524,27 @@ def mwt_skew(p_skew, lx, ly, with_matches=False):
     return score
 
 
+def unskew_posterior(p_skew):
+    """(D, B, W) skewed posterior plane -> (B, Lp, Lp) grid plane.
+
+    Grid cell (i, j) (0-based posterior entry) lives at skew row
+    d = i + j + 2, lane j + 1.  One device gather per batch; used by the
+    dense on-device consistency stage, which wants grid-space planes for
+    the MXU contraction (align.consistency.relax_dense_rounds).
+    """
+    D, B, W = p_skew.shape
+    lp = W - 1
+    i = jnp.arange(lp, dtype=jnp.int32)[:, None]
+    wl = jnp.arange(W, dtype=jnp.int32)[None, :]
+    unsk = jnp.take_along_axis(
+        jnp.moveaxis(p_skew, 0, 1),
+        jnp.broadcast_to((i + wl + 1)[None], (B, lp, W)),
+        axis=1,
+    )
+    # unsk[b, i, wl] = p_skew[i + wl + 1, b, wl]; lane j + 1 -> column j
+    return unsk[:, :, 1:]
+
+
 def topk_skew(p_skew, k, cutoff):
     """Per-diagonal top-k sparsification of a skewed posterior plane.
 

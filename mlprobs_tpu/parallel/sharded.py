@@ -90,28 +90,32 @@ def make_sharded_consistency(mesh: Mesh, num_seqs: int,
 
     The i-axis (rows of the pair matrix) is sharded; each chip all-gathers
     the full tensor's z-rows over ICI and contracts its local row block on
-    the MXU:  R[i,j] = sum_z S[i,z] @ S[z,j].
+    the MXU — the multi-chip form of the production
+    consistency.relax_dense_rounds update (same coefficient
+    parametrisation: R_ij = sc*S_ij + zs*sum_z w_z S_iz @ S_zj on a
+    zero-diagonal tensor, masked to support and re-thresholded).
     """
 
-    def local_round(s_local):
-        # s_local: (N/n_dev, N, Lp, Lp)
+    def local_round(s_local, self_coef, z_scale, w):
+        # s_local: (N/n_dev, N, Lp, Lp); coef rows sharded alongside
         s_all = jax.lax.all_gather(
             s_local, "pairs", axis=0, tiled=True
         )  # (N, N, Lp, Lp)
-        r = jnp.einsum(
-            "izab,zjbc->ijac",
+        prod = jnp.einsum(
+            "izab,z,zjbc->ijac",
             s_local,
+            w,
             s_all,
             preferred_element_type=jnp.float32,
-        ) / num_seqs
-        support = s_local >= cutoff
-        r = jnp.where(support, r, 0.0)
-        return jnp.where(r >= cutoff, r, 0.0)
+        )
+        r = (self_coef[:, :, None, None] * s_local
+             + z_scale[:, :, None, None] * prod)
+        return jnp.where((s_local >= cutoff) & (r >= cutoff), r, 0.0)
 
     fn = shard_map(
         local_round,
         mesh=mesh,
-        in_specs=P("pairs"),
+        in_specs=(P("pairs"), P("pairs"), P("pairs"), P()),
         out_specs=P("pairs"),
         check_vma=False,
     )

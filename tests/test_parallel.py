@@ -58,15 +58,38 @@ def test_sharded_posterior_matches_single_device():
     )
 
 
-def test_sharded_consistency_runs():
+def _random_posterior_tensor(rng, n, lp):
+    """Zero-diagonal symmetric-consistent sparse posterior tensor."""
+    s = (rng.random((n, n, lp, lp)) ** 6).astype(np.float32)
+    s[s < 0.01] = 0.0
+    iu = np.triu_indices(n, 1)
+    s[iu[1], iu[0]] = np.swapaxes(s[iu[0], iu[1]], 1, 2)
+    s[np.arange(n), np.arange(n)] = 0.0
+    return s
+
+
+def test_sharded_consistency_matches_single_device():
+    """The ICI all-gather round == the single-device MXU round."""
+    from mlprobs_tpu.align import consistency as cons
+
     mesh = pairs_mesh(8)
     rng = np.random.default_rng(1)
     n, lp = 8, 64
-    s = (rng.random((n, n, lp, lp)) ** 3).astype(np.float32)
+    s = _random_posterior_tensor(rng, n, lp)
+    sc, zs, w = cons.dense_relax_coeffs(n)
+    want = np.asarray(cons.relax_dense_rounds(
+        jnp.asarray(s), jnp.asarray(sc), jnp.asarray(zs),
+        jnp.asarray(w), reps=1,
+    ))
+
     shard = pair_sharding(mesh)
     s_dev = jax.device_put(jnp.asarray(s), shard)
     relax = make_sharded_consistency(mesh, num_seqs=n)
-    out = np.asarray(relax(s_dev))
-    assert out.shape == s.shape
-    assert (out >= 0).all()
+    out = np.asarray(relax(
+        s_dev,
+        jax.device_put(jnp.asarray(sc), shard),
+        jax.device_put(jnp.asarray(zs), shard),
+        jnp.asarray(w),
+    ))
+    np.testing.assert_allclose(out, want, atol=1e-6)
     assert ((out == 0) | (out >= 0.01)).all()

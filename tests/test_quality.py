@@ -29,27 +29,76 @@ def test_sp_tc_detects_shift():
     assert column_identity(test, ref) == 0.0
 
 
-def test_dense_device_consistency_matches_sparse():
-    rng = np.random.default_rng(2)
-    n, lp = 4, 16
-    lens = [lp] * n
+def _random_posts(rng, n, lp):
     posts = {}
     dense = np.zeros((n, n, lp, lp), dtype=np.float32)
     for i in range(n):
-        dense[i, i] = np.eye(lp)
         for j in range(i + 1, n):
             p = (rng.random((lp, lp)) ** 3).astype(np.float32)
             p[p < 0.01] = 0.0
             posts[(i, j)] = sp.csr_matrix(p)
             dense[i, j] = p
             dense[j, i] = p.T
-    got = np.asarray(
-        cons.relax_dense_device(jnp.asarray(dense), num_seqs=n)
-    )
-    want = cons.relax_sparse(posts, lens, reps=1)
+    return posts, dense
+
+
+def test_relax_dense_rounds_matches_sparse_oracle():
+    """Production MXU relaxation == the scipy block-matrix oracle."""
+    rng = np.random.default_rng(2)
+    n, lp = 4, 16
+    posts, dense = _random_posts(rng, n, lp)
+    sc, zs, w = cons.dense_relax_coeffs(n)
+    got = np.asarray(cons.relax_dense_rounds(
+        jnp.asarray(dense), jnp.asarray(sc), jnp.asarray(zs),
+        jnp.asarray(w), reps=2,
+    ))
+    want = cons.relax_sparse(posts, [lp] * n, reps=2)
     for (i, j), s in want.items():
+        np.testing.assert_allclose(got[i, j], s.toarray(), atol=1e-5)
+
+
+def test_relax_dense_rounds_weighted_matches_oracle():
+    """Weighted MXU relaxation == relax_sparse_weighted (accept-all)."""
+    rng = np.random.default_rng(3)
+    n, lp = 5, 12
+    posts, dense = _random_posts(rng, n, lp)
+    weights = rng.random(n).astype(np.float64) + 0.1
+    sc, zs, w = cons.dense_relax_coeffs(n, weights)
+    got = np.asarray(cons.relax_dense_rounds(
+        jnp.asarray(dense), jnp.asarray(sc), jnp.asarray(zs),
+        jnp.asarray(w), reps=1,
+    ))
+    want = cons.relax_sparse_weighted(posts, [lp] * n, weights, reps=1)
+    for (i, j), s in want.items():
+        np.testing.assert_allclose(got[i, j], s.toarray(), atol=1e-5)
+
+
+def test_device_posterior_tensor_consistency_end_to_end():
+    """device_posterior_tensor + relax == host posterior + relax_sparse.
+
+    Uses the full-dense cutoff regime on both sides (the device path's
+    sparsity semantics — the reference's own, SparseMatrix.h:14)."""
+    from mlprobs_tpu.align import pairwise
+    from mlprobs_tpu.core.alphabet import degap, encode
+    from mlprobs_tpu.core.fasta import read_fasta
+
+    fam = "/root/reference/TEST/sabre/in/sup_387"
+    seqs = [degap(encode(s)) for _, s in read_fasta(fam)][:4]
+    tensor = pairwise.device_posterior_tensor(seqs, "mix", 0.170705)
+    assert tensor is not None
+    # oracle: CSRs from the same dense tensor, relaxed on host
+    lens = [len(s) for s in seqs]
+    posts_in = {}
+    S = np.asarray(tensor.S)
+    for (i, j) in tensor.pairs:
+        posts_in[(i, j)] = sp.csr_matrix(S[i, j][: lens[i], : lens[j]])
+    want = cons.relax_sparse(
+        posts_in, lens, reps=2
+    )
+    got = tensor.relax_and_extract(reps=2)
+    for key, s in want.items():
         np.testing.assert_allclose(
-            got[i, j], s.toarray(), atol=1e-5
+            got[key].toarray(), s.toarray(), atol=2e-5
         )
 
 
