@@ -12,18 +12,31 @@ MLProbs runtime.  One "cell update" = one (i, j) DP cell of the
 combined posterior plane (L^2 per pair), the same unit the reference's
 OpenMP/OpenCL loops fill (SURVEY §6).
 
-vs_baseline compares against the reference CPU pipeline's effective
-posterior fill rate, ~2.0e8 cells/s on a modern multicore CPU
-(QuickProbs-class aligners; BASELINE.md — to be re-measured precisely).
+vs_baseline compares against the reference's MEASURED posterior fill
+rate on this host: the prebuilt quickprobs binary timed on
+posterior-dominated synthetic families (tools/measure_baseline.py
+posterior_fill; results in BASELINE_CPU.json).  Measured 2026-08-19:
+1.21e7 cells/s (2-core host, both cores).
 """
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
-REFERENCE_CELLS_PER_SEC = 2.0e8  # CPU baseline estimate (BASELINE.md)
+REFERENCE_CELLS_PER_SEC = 1.21e7  # measured (BASELINE_CPU.json)
+
+
+def _measured_baseline() -> float:
+    """Prefer the measured rate from BASELINE_CPU.json when present."""
+    try:
+        path = os.path.join(os.path.dirname(__file__), "BASELINE_CPU.json")
+        with open(path) as f:
+            return float(json.load(f)["posterior_fill"]["cells_per_sec"])
+    except Exception:
+        return REFERENCE_CELLS_PER_SEC
 
 
 def main() -> None:
@@ -64,7 +77,7 @@ def main() -> None:
                 "metric": "posterior_dp_cell_updates_per_sec",
                 "value": rate,
                 "unit": "cells/s",
-                "vs_baseline": rate / REFERENCE_CELLS_PER_SEC,
+                "vs_baseline": rate / _measured_baseline(),
             }
         )
     )

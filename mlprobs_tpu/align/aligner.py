@@ -240,13 +240,16 @@ def align_family(
         return out
 
     if config == "quickprobs":
-        # QuickProbs defaults (Configuration.cpp:84-135): UPGMA, weighted
-        # relaxation with selfweight 3, weighted construction with the
-        # posteriorCutoff subtraction, column refinement accepted by length
-        from mlprobs_tpu.align.refine_qp import column_refinement
+        # QuickProbs pipeline (ExtendedMSA.cpp:66-184 with the defaults
+        # of Configuration.cpp:84-135): guide tree by kind, selectivity
+        # distance preparation + normalization, saturated weights,
+        # weighted relaxation with selfweight 3, weighted construction
+        # with the posteriorCutoff subtraction, refinement by type.
+        from mlprobs_tpu.align import refine_qp
+        from mlprobs_tpu.align import tree_extra
+        from mlprobs_tpu.core.config import DEFAULT as _DEF
 
-        from mlprobs_tpu.align.tree_extra import subtree_distances
-
+        rcfg = _DEF.realigner
         tensor = None
         if _CONS_ENGINE == "device":
             tensor = pairwise.device_posterior_tensor(seqs, "qp", None)
@@ -254,28 +257,79 @@ def align_family(
             posts, dist = None, tensor.dist
         else:
             posts, dist = posterior_stage(seqs, "qp", None)
-        root = treelib.upgma(dist, variance_id=1)
-        weights_f = treelib.clustalw_weights(root, n) / 100.0 + 1e-6
-        c_reps = 2 if n <= 50 else 1
-        # Subtree-mode selectivity: the deterministic filter only bites
-        # when some pair's tree distance exceeds the 200 threshold
-        subd = subtree_distances(root, n)
-        dist_arg = None if subd.max() <= 200.0 else subd
-        if tensor is not None and dist_arg is None:
+        if rcfg.tree_kind == "slink":
+            root = tree_extra.slink(dist)
+        elif rcfg.tree_kind == "chained":
+            root = tree_extra.chained(n)
+        else:
+            root = treelib.upgma(dist, variance_id=1)
+        weights_f = cons.saturate_weights(
+            treelib.clustalw_weights(root, n) / 100.0, rcfg.saturation
+        )
+        c_reps = (rcfg.consistency_reps
+                  if n <= rcfg.large_family_threshold
+                  else rcfg.consistency_reps_large)
+        subd = tree_extra.subtree_distances(root, n)
+        cd = cons.selectivity_distances(
+            rcfg.selectivity_mode, dist, subtree=subd,
+            selectivity=rcfg.selectivity,
+            normalization=rcfg.selectivity_normalization,
+        )
+        # accept-all shortcut: the deterministic filter passes every z
+        # when no combined distance can exceed the selectivity bound
+        func_bound = {"max": 1.0, "min": 1.0, "sum": 2.0, "avg": 1.5}
+        accept_all = (
+            rcfg.selectivity_filter == "deterministic"
+            and cd.max() * func_bound[rcfg.selectivity_function]
+            <= rcfg.selectivity
+        )
+        if tensor is not None and accept_all:
             posts = tensor.relax_and_extract(
-                weights=weights_f, reps=c_reps
+                weights=weights_f, reps=c_reps,
+                selfweight=rcfg.selfweight,
+                selectivity=rcfg.selectivity,
             )
         else:
             if posts is None:  # stochastic-filter regime: host path
                 posts, _ = posterior_stage(seqs, "qp", None)
             posts = cons.relax_sparse_weighted(
-                posts, lengths, weights_f, reps=c_reps, distances=dist_arg
+                posts, lengths, weights_f, reps=c_reps,
+                selfweight=rcfg.selfweight,
+                selectivity=rcfg.selectivity,
+                distances=None if accept_all else cd,
             )
-        out = progressive.process_tree(
-            root, msa, posts, weights_f, cutoff_sub=0.01
+        weights_c = cons.saturate_weights(
+            treelib.clustalw_weights(root, n) / 100.0,
+            rcfg.final_saturation,
         )
-        iters = 30 if n <= 200 else 200
-        out = column_refinement(out, posts, weights_f, rng, iters)
+        out = progressive.process_tree(
+            root, msa, posts, weights_c, cutoff_sub=rcfg.posterior_cutoff
+        )
+        iters = (rcfg.refinement_reps
+                 if n <= rcfg.refinement_threshold
+                 else rcfg.refinement_reps_large)
+        if rcfg.refinement_type == "random":
+            out = refine_qp.random_refinement(
+                out, posts, weights_c, rng, iters,
+                acceptance_length=rcfg.acceptance_length,
+                acceptance_entropy=rcfg.acceptance_entropy,
+            )
+        elif rcfg.refinement_type == "tree":
+            out = refine_qp.tree_refinement(
+                out, posts, weights_c, rng, iters, root,
+                acceptance_length=rcfg.acceptance_length,
+                acceptance_entropy=rcfg.acceptance_entropy,
+            )
+        else:
+            out = refine_qp.column_refinement(
+                out, posts, weights_c, iterations=iters,
+                max_depth=rcfg.max_depth,
+                column_fraction=rcfg.column_fraction,
+                ignore_terminal_gaps=rcfg.ignore_terminal_gaps,
+                acceptance_length=rcfg.acceptance_length,
+                acceptance_entropy=rcfg.acceptance_entropy,
+                num_seqs_total=n,
+            )
         return out
 
     tensor = None

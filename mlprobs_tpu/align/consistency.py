@@ -80,22 +80,87 @@ def z_acceptance(
 ) -> list[int]:
     """Accepted intermediate sequences z for pair (i, j).
 
-    Mirrors the stochastic z-filter (ConsistencyStage.cpp:186-221): a
-    Park-Miller stream seeded per pair decides acceptance against the
-    filtered selectivity value.
+    Reference-exact stochastic z-filter (ConsistencyStage.cpp:186-221):
+    the pair's mt19937-table seed drives the 75-multiplier Lehmer
+    stream; z is accepted iff float(seed) * RND_MAX_INV < filter(x).
+    `seed` must come from qprand.consistency_seed_matrix.
     """
+    from mlprobs_tpu.utils import qprand
+
     n = distances.shape[0]
     func = SELECTIVITY_FUNCTIONS[function]
     filt = selectivity_filter(filter_kind, selectivity)
-    out = []
-    for k in range(n):
-        if k in (i, j):
-            continue
-        x = filt(func(distances[i, k], distances[j, k]))
-        seed = parkmiller(seed)
-        if seed / PM_MOD - x < 0:
-            out.append(k)
-    return out
+    zs = [k for k in range(n) if k not in (i, j)]
+    x = np.array(
+        [filt(func(distances[i, k], distances[j, k])) for k in zs],
+        dtype=np.float32,
+    )
+    accept = qprand.z_accept_row(seed, x)
+    return [k for k, a in zip(zs, accept) if a]
+
+
+def selectivity_distances(
+    mode: str,
+    distances: np.ndarray,
+    subtree: np.ndarray | None = None,
+    selectivity: float = 200.0,
+    normalization: str = "no",
+) -> np.ndarray:
+    """Consistency-distance preparation (ExtendedMSA.cpp:104-177).
+
+    mode: "subtree" (tree subtree distances), "similarity" (the MWT
+    distance matrix) or "seed" (all-max matrix with `selectivity`
+    mt19937-drawn seed rows zeroed).  normalization: "no", "stochastic"
+    (divide by max if > 1), "ranked" (global stable rank desc over all
+    n*n entries, / n(n-1), diag preset to max) or "rankedrow" (row-wise
+    rank desc / n).
+    """
+    from mlprobs_tpu.utils import qprand
+
+    n = distances.shape[0]
+    if mode == "subtree":
+        if subtree is None:
+            raise ValueError("subtree mode needs subtree distances")
+        cd = np.array(subtree, dtype=np.float32, copy=True)
+    elif mode == "similarity":
+        cd = np.array(distances, dtype=np.float32, copy=True)
+    elif mode == "seed":
+        cd = np.full((n, n), np.finfo(np.float32).max, np.float32)
+        for s in qprand.seed_selection_ids(n, int(selectivity)):
+            cd[s, :] = 0.0
+            cd[:, s] = 0.0
+    else:
+        raise ValueError(mode)
+
+    def rank_desc(flat: np.ndarray) -> np.ndarray:
+        # rank_range with std::greater: stable sort ascending by
+        # (value, index) under >, i.e. descending value, stable
+        order = np.lexsort((np.arange(len(flat)), -flat))
+        out = np.empty(len(flat), dtype=np.float32)
+        out[order] = np.arange(len(flat), dtype=np.float32)
+        return out
+
+    if normalization == "no":
+        pass
+    elif normalization == "stochastic":
+        mx = cd.max()
+        if mx > 1.0:
+            cd = cd / mx
+    elif normalization == "ranked":
+        np.fill_diagonal(cd, np.finfo(np.float32).max)
+        cd = rank_desc(cd.ravel()).reshape(n, n) / (n * (n - 1))
+    elif normalization == "rankedrow":
+        np.fill_diagonal(cd, np.finfo(np.float32).max)
+        cd = np.stack([rank_desc(row) for row in cd]) / n
+    else:
+        raise ValueError(normalization)
+    return cd.astype(np.float32)
+
+
+def saturate_weights(weights: np.ndarray,
+                     saturation: float = 1e-6) -> np.ndarray:
+    """Weight saturation clamp (ExtendedMSA.cpp:178,184)."""
+    return np.maximum(np.asarray(weights, np.float64), saturation)
 
 
 def sparsify(post: np.ndarray, cutoff: float = CUTOFF) -> sp.csr_matrix:
@@ -164,6 +229,7 @@ def relax_sparse_weighted(
     selectivity: float = 200.0,
     cutoff: float = CUTOFF,
     distances: np.ndarray | None = None,
+    seeds: np.ndarray | None = None,
 ) -> dict[tuple[int, int], sp.csr_matrix]:
     """QuickProbs-style weighted relaxation (ConsistencyStage.cpp:133-259).
 
@@ -178,7 +244,7 @@ def relax_sparse_weighted(
     out = relax_native(
         posts, lengths, reps=reps, cutoff=cutoff, weights=weights,
         selfweight=selfweight, selectivity=selectivity,
-        distances=distances,
+        distances=distances, seeds=seeds,
     )
     if out is not None:
         return out
@@ -202,14 +268,17 @@ def relax_sparse_weighted(
                 )
             )
             r = q @ wdiag @ q
+        if not accept_all and seeds is None:
+            from mlprobs_tpu.utils import qprand
+
+            seeds = qprand.consistency_seed_matrix(n)
         new = {}
         for (i, j), s in current.items():
             if accept_all:
                 accepted = [z for z in range(n) if z not in (i, j)]
             else:
                 accepted = z_acceptance(
-                    distances, i, j,
-                    seed=(i * n + j) % (PM_MOD - 1) + 1,
+                    distances, i, j, seed=int(seeds[i, j]),
                     selectivity=selectivity,
                 )
             wij = (1.0 + (selfweight - 1.0) * len(accepted) / selectivity)
@@ -344,6 +413,7 @@ def relax_native(
     selfweight: float = 3.0,
     selectivity: float = 200.0,
     distances: np.ndarray | None = None,
+    seeds: np.ndarray | None = None,
 ) -> dict[tuple[int, int], sp.csr_matrix] | None:
     """Relaxation rounds via the native OpenMP kernel.
 
@@ -374,13 +444,16 @@ def relax_native(
             w_eff[p, j] = 0.0
     else:
         w = np.asarray(weights, dtype=np.float64)
+        if distances is not None and seeds is None:
+            from mlprobs_tpu.utils import qprand
+
+            seeds = qprand.consistency_seed_matrix(n)
         for p, (i, j) in enumerate(pair_list):
             if distances is None:
                 accepted = [z for z in range(n) if z not in (i, j)]
             else:
                 accepted = z_acceptance(
-                    distances, i, j,
-                    seed=(i * n + j) % (PM_MOD - 1) + 1,
+                    distances, i, j, seed=int(seeds[i, j]),
                     selectivity=selectivity,
                 )
             wij = 1.0 + (selfweight - 1.0) * len(accepted) / selectivity

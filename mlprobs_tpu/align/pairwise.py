@@ -22,13 +22,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from mlprobs_tpu.core.config import DEFAULT as _CFG
 from mlprobs_tpu.models import params as mp
 from mlprobs_tpu.ops import mwt, pairhmm, partition, viterbi, wavefront
 
-LEN_BUCKET = 128         # pad lengths to multiples of this (compile reuse)
-MAX_BATCH_ELEMS = 2**25  # cap on batch * Lp^2 posterior elements
-TOPK = 16                # sparse entries kept per posterior row on device
-CUTOFF = 0.01            # SparseMatrix.h:14
+# engine constants come from the unified config (core/config.py)
+LEN_BUCKET = _CFG.engine.length_bucket
+MAX_BATCH_ELEMS = _CFG.engine.max_batch_elems
+TOPK = _CFG.engine.topk_per_row
+CUTOFF = _CFG.aligner.posterior_cutoff   # SparseMatrix.h:14
 
 
 def _bucket_len(n: int) -> int:
@@ -267,11 +269,12 @@ def _wf_dense_fn(models: tuple[str, ...]):
 # relaxed tensor is pulled back to host CSR.  Posterior rows sum to <= 1,
 # so at most 100 entries can clear the 0.01 cutoff; 64 is lossless in
 # practice (and far above the reference's typical row occupancy).
-EXTRACT_TOPK = 64
+EXTRACT_TOPK = _CFG.engine.extract_topk
 # HBM budget for the (N, N, Lp, Lp) posterior tensor (bytes).  The
 # relaxation needs ~2.5x this (input + einsum output + extraction
 # gather), so 4e9 keeps peak under ~10 GB on a 16 GB v5e chip.
-_CONS_BUDGET = int(float(os.environ.get("MLPROBS_CONS_BUDGET", 4e9)))
+_CONS_BUDGET = int(float(os.environ.get(
+    "MLPROBS_CONS_BUDGET", _CFG.engine.cons_budget_bytes)))
 
 
 @functools.lru_cache(maxsize=4)

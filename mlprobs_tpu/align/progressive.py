@@ -44,7 +44,9 @@ def _pad_plane(r: np.ndarray, mult: int = 64) -> np.ndarray:
 # latency (~100 ms over a tunneled chip) dwarfs the compute.  The
 # vectorised host fill runs at ~50M cells/s, so even 2048^2 planes are
 # faster locally than one tunneled round trip.
-HOST_MWT_AREA = 2048 * 2048
+from mlprobs_tpu.core.config import DEFAULT as _CFG
+
+HOST_MWT_AREA = _CFG.engine.host_mwt_area
 
 
 def _mwt_host(post: np.ndarray) -> tuple[np.ndarray, float]:

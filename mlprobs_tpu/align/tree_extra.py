@@ -96,3 +96,97 @@ def subtree_distances(root: TreeNode, num_seqs: int) -> np.ndarray:
             dist = (len(pi) - common) + (len(pj) - common)
             out[i, j] = out[j, i] = dist
     return out
+
+
+def parse_newick(text: str, names: list[str] | None = None) -> TreeNode:
+    """Parse a Newick description into a TreeNode tree.
+
+    The import side of the reference's NewickTree/TreeGrammar
+    (NewickTree.cpp:16-31, TreeGrammar.h): leaf labels are either
+    indices or names resolved through `names`; branch lengths become
+    TreeNode.dist.  Multifurcations are resolved left-associatively
+    (the reference grammar only accepts binary trees; we are more
+    lenient).
+    """
+    pos = [0]
+    s = text.strip()
+    if s.endswith(";"):
+        s = s[:-1]
+    name_to_idx = (
+        {n: i for i, n in enumerate(names)} if names is not None else None
+    )
+    next_internal = [0]
+
+    def peek():
+        return s[pos[0]] if pos[0] < len(s) else ""
+
+    def parse_label() -> str:
+        start = pos[0]
+        while pos[0] < len(s) and s[pos[0]] not in ",():;":
+            pos[0] += 1
+        return s[start: pos[0]]
+
+    def parse_node() -> TreeNode:
+        if peek() == "(":
+            pos[0] += 1  # (
+            children = [parse_node()]
+            while peek() == ",":
+                pos[0] += 1
+                children.append(parse_node())
+            if peek() != ")":
+                raise ValueError(f"unbalanced newick at {pos[0]}")
+            pos[0] += 1  # )
+            parse_label()  # optional internal label, ignored
+            node = children[0]
+            for ch in children[1:]:
+                parent = TreeNode(idx=-1, leaf=False, left=node, right=ch)
+                node.parent = ch.parent = parent
+                node = parent
+        else:
+            label = parse_label()
+            if name_to_idx is not None:
+                if label not in name_to_idx:
+                    raise ValueError(f"unknown leaf {label!r}")
+                idx = name_to_idx[label]
+            else:
+                idx = int(label)
+            node = TreeNode(idx=idx)
+        if peek() == ":":
+            pos[0] += 1
+            start = pos[0]
+            while pos[0] < len(s) and s[pos[0]] not in ",():;":
+                pos[0] += 1
+            node.dist = float(s[start: pos[0]])
+        return node
+
+    root = parse_node()
+    if pos[0] != len(s):
+        raise ValueError(f"trailing newick input at {pos[0]}")
+
+    # assign internal ids in post-order after the leaf ids
+    n_leaves = sum(1 for _ in leaves_iter(root))
+    counter = [n_leaves]
+
+    def number(t: TreeNode):
+        if not t.leaf:
+            number(t.left)
+            number(t.right)
+            t.idx = counter[0]
+            counter[0] += 1
+
+    number(root)
+    return root
+
+
+def leaves_iter(node: TreeNode):
+    if node.leaf:
+        yield node
+    else:
+        yield from leaves_iter(node.left)
+        yield from leaves_iter(node.right)
+
+
+def parse_phylip_tree(text: str, names: list[str] | None = None) -> TreeNode:
+    """Phylip tree files are Newick with optional leading whitespace /
+    line wraps (PhylipTree.cpp role)."""
+    return parse_newick("".join(text.split()), names)

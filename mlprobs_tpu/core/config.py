@@ -43,6 +43,24 @@ class RealignerConfig:
     refinement_threshold: int = 200
     posterior_cutoff: float = 0.01
     partition_matrix: str = "Vtml200"
+    # guide tree: "upgma" | "slink" | "chained" (ExtendedMSA.cpp:86-99)
+    tree_kind: str = "upgma"
+    # selectivity (Configuration.cpp:105-120, ExtendedMSA.cpp:104-184)
+    selectivity_mode: str = "subtree"      # subtree|similarity|seed
+    selectivity_function: str = "max"      # sum|min|max|avg
+    selectivity_filter: str = "deterministic"
+    selectivity: float = 200.0
+    selectivity_normalization: str = "no"  # no|stochastic|ranked|rankedrow
+    selfweight: float = 3.0
+    saturation: float = 1e-6
+    final_saturation: float = 1e-6
+    # refinement (Configuration.cpp:121-131)
+    refinement_type: str = "column"        # column|random|tree
+    column_fraction: float = 1.0
+    max_depth: int = 0
+    ignore_terminal_gaps: bool = True
+    acceptance_length: bool = True
+    acceptance_entropy: bool = False
 
 
 @dataclass
@@ -52,7 +70,9 @@ class EngineConfig:
     length_bucket: int = 128
     max_batch_elems: int = 2**25
     topk_per_row: int = 16
-    host_mwt_area: int = 512 * 512
+    host_mwt_area: int = 2048 * 2048
+    extract_topk: int = 64            # rows pulled from device consistency
+    cons_budget_bytes: float = 4e9    # HBM gate for the dense tensor
 
 
 @dataclass

@@ -19,11 +19,13 @@ from mlprobs_tpu.core.msa import MSA
 from mlprobs_tpu.models import forests
 from mlprobs_tpu.ops.colscore import column_scores
 from mlprobs_tpu.pipeline import regions as reg
+from mlprobs_tpu.core.config import DEFAULT as _CFG
 from mlprobs_tpu.pipeline.realign import realign_and_combine
+from mlprobs_tpu.utils.stats import GLOBAL as STATS
 
-SIGMA = 1.2       # MLProbs.py:24
-BETA = 0.0        # MLProbs.py:25
-THRESHOLD = 2.0   # MLProbs.py:26
+SIGMA = _CFG.pipeline.sigma          # MLProbs.py:24
+BETA = _CFG.pipeline.beta            # MLProbs.py:25
+THRESHOLD = _CFG.pipeline.threshold  # MLProbs.py:26
 
 
 @dataclass
@@ -49,9 +51,13 @@ def run_pipeline(
     rep = PipelineReport(num_seqs=len(records))
     log = print if verbose else (lambda *a, **k: None)
     t0 = time.time()
+    last = [t0]
 
     def mark(name):
-        rep.timings[name] = time.time() - t0
+        now = time.time()
+        rep.timings[name] = now - t0
+        STATS.add(f"stage.{name}", now - last[0])
+        last[0] = now
 
     if len(records) <= 1:
         return MSA.from_records(records), rep
