@@ -66,7 +66,7 @@ def family_viterbi_stats(
     col_acc = np.zeros(cap, dtype=np.float64)
     sp_sum, sp_cols = 0.0, 0.0
 
-    if pairwise._ENGINE == "wavefront":
+    if pairwise._engine() in ("wavefront", "pallas"):
         # device traceback: only per-pair scalars + the per-step score
         # table cross the host boundary
         for chunk, plen, matches, scores_rev in (
@@ -185,13 +185,19 @@ def align_family(
     config: str = "pnp",
     stats: FamilyStats | None = None,
     strategy: int = 0,
+    report: dict | None = None,
 ) -> MSA:
     """Align one family of unaligned sequences; returns the final MSA.
 
     `strategy` 0 selects the progressive path; 1 selects the
-    non-progressive alignment-graph path (npdoAlign).  The NP
-    construction falls back to progressive until align/graph.py lands.
+    non-progressive alignment-graph path (npdoAlign, align/graph.py).
+    `report`, when given, records which engines actually ran
+    (posterior engine, consistency device-vs-host) — silent engine
+    downgrades must be observable (SURVEY §5.5).
     """
+    if report is None:
+        report = {}
+    report["posterior_engine"] = pairwise._engine()
     msa = MSA.from_unaligned(records)
     seqs = [np.asarray(s[s >= 0]) for s in msa.rows]
     n = len(seqs)
@@ -252,7 +258,12 @@ def align_family(
         rcfg = _DEF.realigner
         tensor = None
         if _CONS_ENGINE == "device":
-            tensor = pairwise.device_posterior_tensor(seqs, "qp", None)
+            tensor = pairwise.device_posterior_tensor(
+                seqs, "qp", None, report=report
+            )
+        report["consistency_engine"] = (
+            "device" if tensor is not None else "host"
+        )
         if tensor is not None:
             posts, dist = None, tensor.dist
         else:
@@ -290,8 +301,10 @@ def align_family(
                 selectivity=rcfg.selectivity,
             )
         else:
-            if posts is None:  # stochastic-filter regime: host path
-                posts, _ = posterior_stage(seqs, "qp", None)
+            if posts is None:
+                # stochastic-filter regime: host relaxation, but the
+                # posteriors come from the already-built device tensor
+                posts = tensor.extract_csrs()
             posts = cons.relax_sparse_weighted(
                 posts, lengths, weights_f, reps=c_reps,
                 selfweight=rcfg.selfweight,
@@ -334,7 +347,12 @@ def align_family(
 
     tensor = None
     if _CONS_ENGINE == "device":
-        tensor = pairwise.device_posterior_tensor(seqs, mode, leave)
+        tensor = pairwise.device_posterior_tensor(
+            seqs, mode, leave, report=report
+        )
+    report["consistency_engine"] = (
+        "device" if tensor is not None else "host"
+    )
     if tensor is not None:
         dist = tensor.dist
         posts = tensor.relax_and_extract(reps=2)

@@ -143,10 +143,31 @@ _MODE_MODELS = {
     "partition": ("partition",),
 }
 
-# Posterior engine: "wavefront" (anti-diagonal scaled-probability scan,
-# ops/wavefront.py — the TPU production path) or "scan" (per-row
-# log-space scans, ops/pairhmm.py — the oracle / debugging path).
-_ENGINE = os.environ.get("MLPROBS_POSTERIOR_ENGINE", "wavefront")
+# Posterior engine:
+#   "pallas"    — fused Pallas TPU kernels (ops/pallas/wavefront_kernel),
+#                 VMEM-resident DP state; the TPU production path.
+#   "wavefront" — anti-diagonal scaled-probability lax.scan
+#                 (ops/wavefront.py); the CPU production / oracle path.
+#   "scan"      — per-row log-space scans (ops/pairhmm.py); debugging.
+# Default: pallas on a real TPU backend, wavefront elsewhere (the Pallas
+# kernels only run compiled on TPU hardware; interpret mode is for
+# tests).  MLPROBS_POSTERIOR_ENGINE overrides.
+
+
+@functools.lru_cache(maxsize=1)
+def _engine() -> str:
+    env = os.environ.get("MLPROBS_POSTERIOR_ENGINE")
+    if env:
+        return env
+    return "pallas" if jax.default_backend() == "tpu" else "wavefront"
+
+
+@functools.lru_cache(maxsize=1)
+def _pallas_interpret() -> bool:
+    """Pallas kernels compile only for TPU; anywhere else (tests,
+    forced engine on CPU) they run in interpret mode."""
+    return jax.default_backend() != "tpu"
+
 
 # HBM budget for the wavefront engine's skewed planes.  A mix-mode
 # batch holds ~8 (D, B, W) f32 planes (3 models x fwd/rev + combined
@@ -155,15 +176,61 @@ _WF_PLANE_BUDGET = int(float(os.environ.get("MLPROBS_WF_BUDGET", 11e9)))
 
 
 def _wf_batch_size(lp: int) -> int:
-    cap = max(8, _WF_PLANE_BUDGET // (64 * lp * lp))
+    # honor the budget all the way down to B=1: a floor of 8 puts
+    # ~64*8*Lp^2 bytes in HBM regardless of Lp, which overflows the chip
+    # for Lp >~ 4k (PosteriorTasksWave.cpp:44-53's long-pair class)
+    cap = max(1, _WF_PLANE_BUDGET // (64 * lp * lp))
     cap = 1 << (cap.bit_length() - 1)
     return int(min(cap, 2048))
 
 
 @functools.lru_cache(maxsize=16)
+def _topk_post_fn(lp: int):
+    """Jitted slice + per-diagonal top-k over a (Dp, B, Wp) padded
+    posterior plane from the Pallas combine kernel."""
+
+    def run(post):
+        p = post[: 2 * lp + 1, :, : lp + 1]
+        return wavefront.topk_skew(p, TOPK, CUTOFF)
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=16)
+def _dense_post_fn(lp: int):
+    """Jitted slice + unskew + cutoff for the Pallas posterior plane."""
+
+    def run(post):
+        p = post[: 2 * lp + 1, :, : lp + 1]
+        dense = wavefront.unskew_posterior(p)
+        return jnp.where(dense >= CUTOFF, dense, 0.0)
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=16)
 def _wf_fn(models: tuple[str, ...], with_matches: bool):
-    """Jitted wavefront posterior stage: fwd+rev scans, RMS combine,
-    skew-space MWT (+match count) and per-diagonal top-k."""
+    """Wavefront posterior stage: fwd+rev sweeps, RMS combine,
+    skew-space MWT (+match count) and per-diagonal top-k.
+
+    Engine "pallas" runs the fused VMEM-resident kernels
+    (ops/pallas/wavefront_kernel); "wavefront" composes the lax.scan
+    engine.  Identical contract either way."""
+    if _engine() == "pallas":
+        from mlprobs_tpu.ops.pallas import wavefront_kernel as wk
+
+        def run_pallas(X, Y, LX, LY, tabs_f, tabs_r):
+            out = wk.posterior_pallas(
+                X, Y, LX, LY, tabs_f, tabs_r,
+                models=models, with_matches=with_matches,
+                interpret=_pallas_interpret(),
+            )
+            vals, lanes = _topk_post_fn(X.shape[1])(out[0])
+            if with_matches:
+                return vals, lanes, out[1], out[2]
+            return vals, lanes, out[1]
+
+        return run_pallas
 
     def run(X, Y, LX, LY, tabs_f, tabs_r):
         b, lp = X.shape
@@ -237,6 +304,18 @@ def _wf_dense_fn(models: tuple[str, ...]):
 
     Used by the device consistency path: planes never leave HBM between
     the posterior stage and the relaxation contraction."""
+    if _engine() == "pallas":
+        from mlprobs_tpu.ops.pallas import wavefront_kernel as wk
+
+        def run_pallas(X, Y, LX, LY, tabs_f, tabs_r):
+            post, score = wk.posterior_pallas(
+                X, Y, LX, LY, tabs_f, tabs_r,
+                models=models, with_matches=False,
+                interpret=_pallas_interpret(),
+            )
+            return _dense_post_fn(X.shape[1])(post), score
+
+        return run_pallas
 
     def run(X, Y, LX, LY, tabs_f, tabs_r):
         b, lp = X.shape
@@ -306,6 +385,27 @@ class DevicePosteriorTensor:
         self.dist = dist            # (N, N) np
         self.seq_lens = seq_lens
 
+    def _extract(self, S) -> dict:
+        """Top-k extract the (N, N, Lp, Lp) tensor's pair planes to host
+        CSRs (the only device->host crossing of the consistency path)."""
+        ii = jnp.asarray([i for i, _ in self.pairs], jnp.int32)
+        jj = jnp.asarray([j for _, j in self.pairs], jnp.int32)
+        vals, idx = _extract_topk_fn()(S[ii, jj])
+        vals = np.asarray(vals)
+        idx = np.asarray(idx)
+        posts = {}
+        for k, (i, j) in enumerate(self.pairs):
+            li, lj = self.seq_lens[i], self.seq_lens[j]
+            posts[(i, j)] = topk_to_csr(vals[k], idx[k], li, lj)
+        return posts
+
+    def extract_csrs(self) -> dict:
+        """Host CSRs of the *unrelaxed* posteriors — lets callers that
+        must relax on host (stochastic selectivity filter) reuse the
+        already-built device tensor instead of recomputing the whole
+        posterior stage (QuickPosteriorStage's single build)."""
+        return self._extract(self.S)
+
     def relax_and_extract(
         self,
         weights: np.ndarray | None = None,
@@ -324,31 +424,34 @@ class DevicePosteriorTensor:
             self.S, jnp.asarray(sc_), jnp.asarray(zs_), jnp.asarray(w_),
             reps=reps,
         )
-        ii = jnp.asarray([i for i, _ in self.pairs], jnp.int32)
-        jj = jnp.asarray([j for _, j in self.pairs], jnp.int32)
-        vals, idx = _extract_topk_fn()(S[ii, jj])
-        vals = np.asarray(vals)
-        idx = np.asarray(idx)
-        posts = {}
-        for k, (i, j) in enumerate(self.pairs):
-            li, lj = self.seq_lens[i], self.seq_lens[j]
-            posts[(i, j)] = topk_to_csr(vals[k], idx[k], li, lj)
-        return posts
+        return self._extract(S)
 
 
 def device_posterior_tensor(
     seqs: Sequence[np.ndarray],
     mode: str,
     leave_prob: float | None = None,
+    report: dict | None = None,
 ) -> DevicePosteriorTensor | None:
-    """Build the HBM posterior tensor, or None when over budget."""
+    """Build the HBM posterior tensor, or None when over budget.
+
+    A None return downgrades the consistency stage to the host path;
+    `report` (when given) records *why* — downgrades must never be
+    silent (SURVEY §5.5)."""
+    if report is None:
+        report = {}
     n = len(seqs)
     if n < 3:
+        report["consistency_downgrade"] = "tiny_family"
         return None
     lp = _bucket_len(max(len(s) for s in seqs))
     if n * n * lp * lp * 4 > _CONS_BUDGET:
+        report["consistency_downgrade"] = (
+            f"over_budget:{n * n * lp * lp * 4 >> 20}MiB"
+        )
         return None
-    if _ENGINE != "wavefront":
+    if _engine() not in ("wavefront", "pallas"):
+        report["consistency_downgrade"] = f"engine:{_engine()}"
         return None
 
     pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
@@ -421,6 +524,10 @@ def iter_pair_batches(
         return
     lp = _bucket_len(max(len(s) for s in seqs))
     bs = batch_fn(lp) if batch_fn is not None else _batch_size(lp, len(pairs))
+    # never pad a small family's pair list up to the full HBM-budget
+    # batch: clamp to the next power of two above the real pair count
+    # (shapes stay few for the compile cache, compute stays proportional)
+    bs = max(1, min(bs, 1 << (len(pairs) - 1).bit_length()))
     padded = [_pad_to(s, lp) for s in seqs]
     lens = [len(s) for s in seqs]
     for start in range(0, len(pairs), bs):
@@ -465,7 +572,7 @@ def all_pairs_posteriors(
     n = len(seqs)
     if pairs is None:
         pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
-    if _ENGINE == "wavefront":
+    if _engine() in ("wavefront", "pallas"):
         yield from _all_pairs_posteriors_wf(
             seqs, mode, leave_prob, pairs, with_matches
         )
@@ -536,7 +643,7 @@ def viterbi_batches(
     unskewed to padded (W, W) grids regardless of engine.
     """
     pl = local_dict()
-    if _ENGINE == "wavefront":
+    if _engine() in ("wavefront", "pallas"):
         vinit = jnp.asarray(viterbi.VIT_INIT)
         for chunk, X, Y, LX, LY in iter_pair_batches(
             seqs, pairs, batch_fn=_wf_batch_size

@@ -77,6 +77,20 @@ class MSA:
             for i, h in enumerate(self.headers)
         ]
 
+    def content_hash(self) -> str:
+        """sha256 over the FASTA rendering — a quick equality check on
+        final alignments (MultiSequence::calculateHash,
+        MultiSequence.cpp:466-474 / ExtendedMSA.cpp:221)."""
+        import hashlib
+
+        h = hashlib.sha256()
+        for hdr, seq in self.to_records():
+            h.update(hdr.encode())
+            h.update(b"\n")
+            h.update(seq.encode())
+            h.update(b"\n")
+        return h.hexdigest()[:16]
+
     # ------------------------------------------------------------ operations
     def ungapped(self) -> list[np.ndarray]:
         """Per-row encoded sequences with gaps removed."""

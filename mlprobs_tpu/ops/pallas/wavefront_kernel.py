@@ -235,9 +235,15 @@ def _sweep_kernel_body(
     for k in range(CH):
         d = dc * CH + k
         col = 2 * lp + 1 - d
-        inj = jnp.sum(
-            jnp.where(lane256 == col - base, newblk, 0),
-            axis=1, keepdims=True,
+        # col < 0 (diagonals past 2*lp+1 in the padded plane) matches no
+        # lane: inject PAD, not the masked-sum default 0 (class 0 is a
+        # real residue — it would feed phantom emissions into the local
+        # model's every-diagonal total accumulator).
+        hit = lane256 == col - base
+        inj = jnp.sum(jnp.where(hit, newblk, 0), axis=1, keepdims=True)
+        inj = jnp.where(
+            jnp.sum(hit.astype(jnp.int32), axis=1, keepdims=True) > 0,
+            inj, PAD,
         )
         prev = xr_ref[...]
         xrow = jnp.where(
@@ -564,7 +570,9 @@ def _sweep_jit(
     interpret: bool = False,
 ):
     b = xp.shape[0]
-    bb = _block_pairs(lp)
+    # long pairs arrive in batches smaller than the block size (the
+    # HBM-budgeted batch honours B=1; PosteriorTasksWave long class)
+    bb = min(_block_pairs(lp), b)
     assert b % bb == 0, (b, bb)
     wp, dp = _wpad(lp), _dpad(lp)
     consts = _np_consts(frozen)
@@ -823,7 +831,7 @@ def combine(
     uses the forward total (ops/wavefront.posterior_skew semantics).
     """
     b = lx.shape[0]
-    bb = _block_pairs(lp)
+    bb = min(_block_pairs(lp), b)
     wp, dp = _wpad(lp), _dpad(lp)
     nm = len(models)
     meta = pair_meta(jnp.zeros_like(lx), jnp.zeros_like(ly), lx, ly)

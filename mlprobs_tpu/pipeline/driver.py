@@ -30,7 +30,13 @@ THRESHOLD = _CFG.pipeline.threshold  # MLProbs.py:26
 
 @dataclass
 class PipelineReport:
-    """Stage decisions and timings for observability."""
+    """Stage decisions and timings for observability.
+
+    `crash_fallback` (a stage raised; see `error` for the cause) is kept
+    distinct from `whole_family_realign` (the *legitimate* RCR
+    factor<=0 whole-family realign, do_realign.py ExceptionHandling) —
+    the reference's killed_stage ladder conflates neither.  `fallback`
+    is the union, kept for compatibility with older tooling."""
 
     num_seqs: int = 0
     avg_pid: float = 0.0
@@ -41,6 +47,13 @@ class PipelineReport:
     min_length_class: int = 3  # classifier 2
     num_realign_blocks: int = 0
     fallback: bool = False
+    crash_fallback: bool = False
+    whole_family_realign: bool = False
+    error: str = ""            # "<Type>@<stage>: <message>" on crash
+    engines: dict = field(default_factory=dict)  # posterior/consistency
+    final_hash: str = ""       # sha256 of the final MSA FASTA text
+                               # (MultiSequence::calculateHash analogue,
+                               # ExtendedMSA.cpp:221)
     timings: dict = field(default_factory=dict)
 
 
@@ -87,7 +100,8 @@ def run_pipeline(
 
         # ---- base MSA --------------------------------------------------
         base = align_family(
-            records, config="pnp", stats=stats, strategy=strategy
+            records, config="pnp", stats=stats, strategy=strategy,
+            report=rep.engines,
         )
         base = base.sort_by_header()
         mark("base_msa")
@@ -126,23 +140,41 @@ def run_pipeline(
         do_blocks = realign_mode == 1 or stats.factor > 0
         if realign_mode == 0 and stats.factor <= 0:
             # RCR with non-positive factor: realign the whole family
-            # (do_realign.py ExceptionHandling)
-            out = align_family(records, config="quickprobs")
+            # (do_realign.py ExceptionHandling) — a *legitimate* path,
+            # not a crash
+            out = align_family(
+                records, config="quickprobs", report=rep.engines
+            )
             out = out.sort_by_header()
+            rep.whole_family_realign = True
             rep.fallback = True
         else:
             out = realign_and_combine(base, blocks, do_blocks)
         mark("realign")
-    except Exception:
+    except Exception as e:
         if verbose:
             raise
-        # stage failure: degrade to whole-family QuickProbs-role alignment
-        out = align_family(records, config="quickprobs").sort_by_header()
+        # stage failure: degrade to whole-family QuickProbs-role
+        # alignment, recording what broke and where (SURVEY §5.5; the
+        # old silent swallow hid crashes behind the fallback flag)
+        stage = next(reversed(rep.timings), "start") if rep.timings \
+            else "start"
+        rep.error = f"{type(e).__name__}@{stage}: {e}"
+        STATS.add("pipeline.crash_fallback", 1.0)
+        out = align_family(
+            records, config="quickprobs", report=rep.engines
+        ).sort_by_header()
+        rep.crash_fallback = True
         rep.fallback = True
         mark("fallback")
 
     if out.num_seqs == 0 or out.length == 0:
-        out = align_family(records, config="quickprobs").sort_by_header()
+        out = align_family(
+            records, config="quickprobs", report=rep.engines
+        ).sort_by_header()
+        rep.crash_fallback = True
         rep.fallback = True
+        rep.error = rep.error or "EmptyOutput@realign: empty final MSA"
+    rep.final_hash = out.content_hash()
     mark("total")
     return out, rep

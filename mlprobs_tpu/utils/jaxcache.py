@@ -4,6 +4,17 @@ The pipeline runs one process per family in benchmark mode (like the
 reference's script.py); without a persistent cache every process repays
 20-60 s of XLA compiles.  Importing mlprobs_tpu enables the on-disk
 cache so compiles amortise across processes.
+
+The cache directory is keyed per *resolved backend*.  XLA:CPU entries
+are AOT executables compiled for an LLVM target-feature string that
+includes pseudo-features (+prefer-no-scatter, +prefer-no-gather, ...)
+derived from the detected CPU *model*, not just its ISA flag set — two
+hosts with identical /proc/cpuinfo flags but different models can get
+different feature strings, and loading the other host's blob flips
+instruction selection (cpu_aot_loader.cc warns of SIGILL) and DP
+tie-breaks.  The key therefore hashes jaxlib version + CPU model name +
+flags; accelerator backends hash the PJRT platform_version (compiler
+build / serialization version).
 """
 from __future__ import annotations
 
@@ -12,27 +23,40 @@ import os
 from pathlib import Path
 
 
-def _machine_tag() -> str:
-    """Fingerprint of the host CPU's ISA features.
-
-    CPU AOT executables are machine-profiled; an entry compiled on a
-    host with different vector extensions loads with wrong instruction
-    selection (XLA warns of SIGILL) and can round differently, flipping
-    DP tie-breaks run-to-run.  Keying the cache dir on the feature set
-    makes cross-host entries invisible instead of latent.
-    """
+def _cpu_fingerprint() -> str:
+    """Model name + ISA flags: the inputs LLVM's host detection uses to
+    pick the target CPU (and with it the pseudo-feature tuning flags
+    XLA bakes into AOT executables)."""
+    model, flags = "", ""
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
-                    return hashlib.sha256(
-                        " ".join(sorted(line.split()[2:])).encode()
-                    ).hexdigest()[:12]
+                if not model and line.startswith("model name"):
+                    model = line.split(":", 1)[1].strip()
+                elif not flags and line.startswith("flags"):
+                    flags = " ".join(sorted(line.split()[2:]))
+                if model and flags:
+                    break
     except OSError:
         pass
-    import platform as _p
+    if not (model or flags):
+        import platform as _p
 
-    return _p.machine()
+        model = _p.processor() or _p.machine()
+    return model + "|" + flags
+
+
+def backend_tag(backend) -> str:
+    """Cache-dir tag for a live (initialised) JAX backend."""
+    import jaxlib
+
+    parts = [backend.platform, getattr(jaxlib, "__version__", "?")]
+    if backend.platform == "cpu":
+        parts.append(_cpu_fingerprint())
+    else:
+        parts.append(str(getattr(backend, "platform_version", "")))
+    digest = hashlib.sha256("|".join(parts).encode()).hexdigest()[:12]
+    return f"{backend.platform}-{digest}"
 
 
 def enable() -> None:
@@ -42,12 +66,16 @@ def enable() -> None:
         "MLPROBS_JAX_CACHE",
         str(Path.home() / ".cache" / "mlprobs_jax"),
     )
-    # separate per platform: CPU AOT executables are machine-profiled
-    # and the tunneled-TPU server may compile with different features
-    platform = os.environ.get("JAX_PLATFORMS", "default").split(",")[0]
-    tag = (platform or "default")
-    if tag == "cpu":
-        tag += "-" + _machine_tag()
+    # Resolve the actual backend (initialises it): the key must reflect
+    # what will execute, not the JAX_PLATFORMS env var — the unkeyed
+    # "default" fallback is exactly how cross-host AOT blobs used to
+    # collide.
+    try:
+        from jax._src import xla_bridge
+
+        tag = backend_tag(xla_bridge.get_backend())
+    except Exception:
+        tag = "default"
     cache_dir = str(Path(cache_dir) / tag)
     Path(cache_dir).mkdir(parents=True, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)

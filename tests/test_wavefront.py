@@ -178,7 +178,7 @@ def test_all_pairs_posteriors_engines_agree(monkeypatch):
             for n in (17, 23, 11)]
 
     def run(engine):
-        monkeypatch.setattr(pw, "_ENGINE", engine)
+        monkeypatch.setattr(pw, "_engine", lambda: engine)
         out = {}
         for (i, j), csr, score, nb in pw.all_pairs_posteriors(
             seqs, mode="mix", leave_prob=0.3, with_matches=True
