@@ -294,12 +294,26 @@ def align_family(
             and cd.max() * func_bound[rcfg.selectivity_function]
             <= rcfg.selectivity
         )
+        over_budget = str(
+            report.get("consistency_downgrade", "")
+        ).startswith("over_budget")
         if tensor is not None and accept_all:
             posts = tensor.relax_and_extract(
                 weights=weights_f, reps=c_reps,
                 selfweight=rcfg.selfweight,
                 selectivity=rcfg.selectivity,
             )
+        elif accept_all and over_budget:
+            # over the whole-tensor HBM gate: sector-tiled device
+            # relaxation (RelaxationSector.cpp role)
+            from mlprobs_tpu.align import sector as sectorlib
+
+            posts = sectorlib.relax_sector_device(
+                posts, lengths, reps=c_reps, weights=weights_f,
+                selfweight=rcfg.selfweight,
+                selectivity=rcfg.selectivity,
+            )
+            report["consistency_engine"] = "sector"
         else:
             if posts is None:
                 # stochastic-filter regime: host relaxation, but the
@@ -358,7 +372,20 @@ def align_family(
         posts = tensor.relax_and_extract(reps=2)
     else:
         posts, dist = posterior_stage(seqs, mode, leave)
-        posts = cons.relax_sparse(posts, lengths, reps=2)
+        if _CONS_ENGINE == "device" and str(
+            report.get("consistency_downgrade", "")
+        ).startswith("over_budget"):
+            # over the whole-tensor HBM gate: sector-tiled device
+            # relaxation keeps the plain baseMSA transform on the MXU
+            # (RelaxationSector.cpp role)
+            from mlprobs_tpu.align import sector as sectorlib
+
+            posts = sectorlib.relax_sector_device(
+                posts, lengths, reps=2
+            )
+            report["consistency_engine"] = "sector"
+        else:
+            posts = cons.relax_sparse(posts, lengths, reps=2)
     root = treelib.upgma(dist, variance_id=vbit)
     out = progressive.compute_final_alignment(
         root, msa, posts, pid=pid, rng=rng, base_reps=base_reps

@@ -169,19 +169,80 @@ def _pallas_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-# HBM budget for the wavefront engine's skewed planes.  A mix-mode
-# batch holds ~8 (D, B, W) f32 planes (3 models x fwd/rev + combined
-# posterior + top-k staging), i.e. ~64*B*L^2 bytes.
-_WF_PLANE_BUDGET = int(float(os.environ.get("MLPROBS_WF_BUDGET", 11e9)))
+def _reset_engine_caches() -> None:
+    """Clear engine/mesh-dependent caches (tests and the multi-chip dry
+    run toggle MLPROBS_MULTICHIP / MLPROBS_POSTERIOR_ENGINE at runtime)."""
+    _engine.cache_clear()
+    _pallas_interpret.cache_clear()
+    _mesh.cache_clear()
+    _wf_fn.cache_clear()
+    _wf_dense_fn.cache_clear()
+
+
+@functools.lru_cache(maxsize=1)
+def _mesh():
+    """The production pairs mesh, or None single-device.
+
+    MLPROBS_MULTICHIP: "auto" (default) shards when >1 device of a real
+    TPU backend is visible; "1" forces sharding (the CPU-mesh tests and
+    the multi-chip dry run); "0" disables.  Sharding the pair batch is
+    pure data parallelism (SURVEY §2.9): per-pair DP results match the
+    single-device path up to XLA fusion-order rounding."""
+    setting = os.environ.get("MLPROBS_MULTICHIP", "auto")
+    if setting == "0":
+        return None
+    ndev = len(jax.devices())
+    if ndev < 2:
+        return None
+    if setting != "1" and jax.default_backend() != "tpu":
+        return None
+    from mlprobs_tpu.parallel.mesh import pairs_mesh
+
+    return pairs_mesh(ndev)
+
+
+def _shard_pairs(body, mesh, out_axes: tuple[int, ...]):
+    """shard_map `body(X, Y, LX, LY)` over the pair axis of all four
+    inputs; `out_axes[k]` names the batch axis of output k (0 for
+    per-pair scalars, 1 for (D, B, ...) planes).  Captured tables are
+    replicated closures.  Per-pair results are independent of the
+    sharding, so this is pure data parallelism (equal up to XLA
+    fusion-order rounding) (SURVEY §2.9)."""
+    from jax.sharding import PartitionSpec as P
+
+    out_specs = tuple(
+        P(*([None] * ax + ["pairs"])) for ax in out_axes
+    )
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P("pairs"),) * 4,
+        out_specs=out_specs if len(out_specs) > 1 else out_specs[0],
+        check_vma=False,
+    )
+
+
+# HBM budget for the wavefront engine's planes.  A mix-mode batch holds
+# ~8 (D, B, W) f32 planes (3 models x fwd/rev + combined posterior +
+# top-k staging); the Pallas planes carry ~128 extra padded lanes and a
+# transient XLA lane-flip copy, so budget ~80 bytes per (pair, cell).
+_WF_PLANE_BUDGET = int(float(os.environ.get("MLPROBS_WF_BUDGET", 9e9)))
 
 
 def _wf_batch_size(lp: int) -> int:
     # honor the budget all the way down to B=1: a floor of 8 puts
-    # ~64*8*Lp^2 bytes in HBM regardless of Lp, which overflows the chip
-    # for Lp >~ 4k (PosteriorTasksWave.cpp:44-53's long-pair class)
-    cap = max(1, _WF_PLANE_BUDGET // (64 * lp * lp))
+    # ~8 full DP planes in HBM regardless of Lp, which overflows the
+    # chip for Lp >~ 4k (PosteriorTasksWave.cpp:44-53's long-pair class).
+    # The 256 cap balances throughput (saturated by ~128 pairs) against
+    # XLA/Mosaic compile time, which scales with the batch dimension.
+    cap = max(1, _WF_PLANE_BUDGET // (80 * lp * lp))
     cap = 1 << (cap.bit_length() - 1)
-    return int(min(cap, 2048))
+    bs = int(min(cap, 256))
+    mesh = _mesh()
+    if mesh is not None:
+        # the sharded batch must split evenly over chips (each holds
+        # its own HBM budget, so the global batch scales with the mesh)
+        bs = max(bs, mesh.size)
+    return bs
 
 
 @functools.lru_cache(maxsize=16)
@@ -215,20 +276,28 @@ def _wf_fn(models: tuple[str, ...], with_matches: bool):
 
     Engine "pallas" runs the fused VMEM-resident kernels
     (ops/pallas/wavefront_kernel); "wavefront" composes the lax.scan
-    engine.  Identical contract either way."""
+    engine.  Identical contract either way.  On a multi-device mesh the
+    pair batch is shard_mapped over chips (each runs its own kernels on
+    its local pairs)."""
+    mesh = _mesh()
+    out_axes = (1, 1, 0, 0) if with_matches else (1, 1, 0)
+
     if _engine() == "pallas":
         from mlprobs_tpu.ops.pallas import wavefront_kernel as wk
 
         def run_pallas(X, Y, LX, LY, tabs_f, tabs_r):
-            out = wk.posterior_pallas(
-                X, Y, LX, LY, tabs_f, tabs_r,
-                models=models, with_matches=with_matches,
-                interpret=_pallas_interpret(),
-            )
-            vals, lanes = _topk_post_fn(X.shape[1])(out[0])
-            if with_matches:
-                return vals, lanes, out[1], out[2]
-            return vals, lanes, out[1]
+            def body(x, y, lx, ly):
+                out = wk.posterior_pallas(
+                    x, y, lx, ly, tabs_f, tabs_r,
+                    models=models, with_matches=with_matches,
+                    interpret=_pallas_interpret(),
+                )
+                vals, lanes = _topk_post_fn(x.shape[1])(out[0])
+                return (vals, lanes) + tuple(out[1:])
+
+            if mesh is None:
+                return body(X, Y, LX, LY)
+            return _shard_pairs(body, mesh, out_axes)(X, Y, LX, LY)
 
         return run_pallas
 
@@ -258,7 +327,16 @@ def _wf_fn(models: tuple[str, ...], with_matches: bool):
         score = wavefront.mwt_skew(post, LX, LY, with_matches=False)
         return vals, lanes, score
 
-    return jax.jit(run)
+    if mesh is None:
+        return jax.jit(run)
+
+    def run_sharded(X, Y, LX, LY, tabs_f, tabs_r):
+        def body(x, y, lx, ly):
+            return run(x, y, lx, ly, tabs_f, tabs_r)
+
+        return _shard_pairs(body, mesh, out_axes)(X, Y, LX, LY)
+
+    return run_sharded
 
 
 def _wf_tables(mode: str, leave_prob: float | None):
@@ -304,16 +382,22 @@ def _wf_dense_fn(models: tuple[str, ...]):
 
     Used by the device consistency path: planes never leave HBM between
     the posterior stage and the relaxation contraction."""
+    mesh = _mesh()
     if _engine() == "pallas":
         from mlprobs_tpu.ops.pallas import wavefront_kernel as wk
 
         def run_pallas(X, Y, LX, LY, tabs_f, tabs_r):
-            post, score = wk.posterior_pallas(
-                X, Y, LX, LY, tabs_f, tabs_r,
-                models=models, with_matches=False,
-                interpret=_pallas_interpret(),
-            )
-            return _dense_post_fn(X.shape[1])(post), score
+            def body(x, y, lx, ly):
+                post, score = wk.posterior_pallas(
+                    x, y, lx, ly, tabs_f, tabs_r,
+                    models=models, with_matches=False,
+                    interpret=_pallas_interpret(),
+                )
+                return _dense_post_fn(x.shape[1])(post), score
+
+            if mesh is None:
+                return body(X, Y, LX, LY)
+            return _shard_pairs(body, mesh, (0, 0))(X, Y, LX, LY)
 
         return run_pallas
 
@@ -341,7 +425,16 @@ def _wf_dense_fn(models: tuple[str, ...]):
         dense = jnp.where(dense >= CUTOFF, dense, 0.0)
         return dense, score
 
-    return jax.jit(run)
+    if mesh is None:
+        return jax.jit(run)
+
+    def run_sharded(X, Y, LX, LY, tabs_f, tabs_r):
+        def body(x, y, lx, ly):
+            return run(x, y, lx, ly, tabs_f, tabs_r)
+
+        return _shard_pairs(body, mesh, (0, 0))(X, Y, LX, LY)
+
+    return run_sharded
 
 
 # Dense on-device consistency: entries kept per posterior row when the
@@ -420,11 +513,36 @@ class DevicePosteriorTensor:
         sc_, zs_, w_ = cons.dense_relax_coeffs(
             n, weights, selfweight=selfweight, selectivity=selectivity
         )
-        S = cons.relax_dense_rounds(
-            self.S, jnp.asarray(sc_), jnp.asarray(zs_), jnp.asarray(w_),
-            reps=reps,
-        )
+        mesh = _mesh()
+        if mesh is not None:
+            S = _relax_sharded(self.S, sc_, zs_, w_, reps, mesh)
+        else:
+            S = cons.relax_dense_rounds(
+                self.S, jnp.asarray(sc_), jnp.asarray(zs_),
+                jnp.asarray(w_), reps=reps,
+            )
         return self._extract(S)
+
+
+def _relax_sharded(S, sc, zs, w, reps: int, mesh):
+    """Dense relaxation rounds with the row axis sharded over the mesh
+    (all-gather of z-rows over ICI; parallel/sharded.py).  N is padded
+    to a mesh multiple with zero rows, which contribute nothing."""
+    from mlprobs_tpu.parallel.sharded import make_sharded_consistency
+
+    n = S.shape[0]
+    npad = -(-n // mesh.size) * mesh.size
+    if npad != n:
+        p = npad - n
+        S = jnp.pad(S, ((0, p), (0, p), (0, 0), (0, 0)))
+        sc = np.pad(sc, ((0, p), (0, p)))
+        zs = np.pad(zs, ((0, p), (0, p)))
+        w = np.pad(w, (0, p))
+    fn = make_sharded_consistency(mesh, num_seqs=npad)
+    scj, zsj, wj = jnp.asarray(sc), jnp.asarray(zs), jnp.asarray(w)
+    for _ in range(reps):
+        S = fn(S, scj, zsj, wj)
+    return S[:n, :n]
 
 
 def device_posterior_tensor(
@@ -524,10 +642,11 @@ def iter_pair_batches(
         return
     lp = _bucket_len(max(len(s) for s in seqs))
     bs = batch_fn(lp) if batch_fn is not None else _batch_size(lp, len(pairs))
-    # never pad a small family's pair list up to the full HBM-budget
-    # batch: clamp to the next power of two above the real pair count
-    # (shapes stay few for the compile cache, compute stays proportional)
-    bs = max(1, min(bs, 1 << (len(pairs) - 1).bit_length()))
+    # One batch shape per length bucket, even for tiny families: a
+    # padded batch wastes milliseconds of VPU time, while every new
+    # (B, Lp) shape costs a fresh ~minute Pallas/XLA compile (amortised
+    # only by the persistent cache).  KernelFactory's binary cache plays
+    # the same role in the reference (KernelFactory.cpp:38-60).
     padded = [_pad_to(s, lp) for s in seqs]
     lens = [len(s) for s in seqs]
     for start in range(0, len(pairs), bs):
@@ -683,16 +802,25 @@ def viterbi_stat_batches(
     pl = local_dict()
     vinit = jnp.asarray(viterbi.VIT_INIT)
     bl = jnp.asarray(blosum, jnp.float32)
+    mesh = _mesh()
+
+    def body(x, y, lx, ly):
+        dirs_s, ends, _ = wavefront.viterbi_wavefront(
+            x, y, lx, ly, pl, vinit
+        )
+        return wavefront.viterbi_path_stats(
+            dirs_s, ends, x, y, lx, ly, bl
+        )
+
+    stats_fn = (
+        body if mesh is None else _shard_pairs(body, mesh, (0, 0, 1))
+    )
     for chunk, X, Y, LX, LY in iter_pair_batches(
         seqs, pairs, batch_fn=_wf_batch_size
     ):
-        Xd, Yd = jnp.asarray(X), jnp.asarray(Y)
-        LXd, LYd = jnp.asarray(LX), jnp.asarray(LY)
-        dirs_s, ends, _ = wavefront.viterbi_wavefront(
-            Xd, Yd, LXd, LYd, pl, vinit
-        )
-        plen, matches, scores_rev = wavefront.viterbi_path_stats(
-            dirs_s, ends, Xd, Yd, LXd, LYd, bl
+        plen, matches, scores_rev = stats_fn(
+            jnp.asarray(X), jnp.asarray(Y),
+            jnp.asarray(LX), jnp.asarray(LY),
         )
         nb = len(chunk)
         yield (

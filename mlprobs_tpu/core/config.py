@@ -73,6 +73,9 @@ class EngineConfig:
     host_mwt_area: int = 2048 * 2048
     extract_topk: int = 64            # rows pulled from device consistency
     cons_budget_bytes: float = 4e9    # HBM gate for the dense tensor
+    # sector-tiled relaxation (families over the dense-tensor gate):
+    sector_budget_bytes: float = 8e9  # two panels + output + staging
+    sector_extract_topk: int = 24     # per-row entries shipped to host
 
 
 @dataclass

@@ -93,3 +93,62 @@ def test_sharded_consistency_matches_single_device():
     ))
     np.testing.assert_allclose(out, want, atol=1e-6)
     assert ((out == 0) | (out >= 0.01)).all()
+
+
+def test_production_pipeline_on_mesh(monkeypatch):
+    """The PRODUCTION posterior/consistency path sharded over the
+    8-device CPU mesh: all_pairs_posteriors matches the single-device
+    run up to XLA fusion-order rounding, and the full pipeline on a real family still
+    matches the golden output (SURVEY §2.9)."""
+    import os
+    from pathlib import Path
+
+    import mlprobs_tpu.align.pairwise as pw
+
+    rng = np.random.default_rng(3)
+    seqs = [np.asarray(rng.integers(0, 20, n), np.int8)
+            for n in (37, 51, 44, 29)]
+
+    def run(multichip):
+        monkeypatch.setenv("MLPROBS_MULTICHIP", multichip)
+        pw._reset_engine_caches()
+        out = {}
+        for (i, j), csr, score in pw.all_pairs_posteriors(
+            seqs, mode="mix"
+        ):
+            out[(i, j)] = (csr.toarray(), score)
+        return out
+
+    try:
+        single = run("0")
+        multi = run("1")
+    finally:
+        pw._reset_engine_caches()
+    assert single.keys() == multi.keys()
+    for k in single:
+        np.testing.assert_allclose(
+            single[k][0], multi[k][0], atol=1e-5, rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            single[k][1], multi[k][1], rtol=1e-5, atol=1e-4
+        )
+
+    # full pipeline end-to-end on the mesh, scored against golden
+    fam = Path("/root/reference/TEST/bali3/in/BB11001")
+    gold = Path("/root/reference/output4evaluation/bali3/BB11001")
+    if not fam.exists():
+        return
+    from mlprobs_tpu.bench.quality import sp_tc
+    from mlprobs_tpu.core.fasta import read_fasta
+    from mlprobs_tpu.core.msa import MSA
+    from mlprobs_tpu.pipeline.driver import run_pipeline
+
+    monkeypatch.setenv("MLPROBS_MULTICHIP", "1")
+    pw._reset_engine_caches()
+    try:
+        out, rep = run_pipeline(read_fasta(fam))
+    finally:
+        pw._reset_engine_caches()
+    assert not rep.crash_fallback, rep.error
+    sp, tc = sp_tc(out, MSA.from_records(read_fasta(gold)))
+    assert sp >= 0.95, (sp, tc)

@@ -1,0 +1,183 @@
+#!/usr/bin/env python
+"""Four-suite quality + performance campaign on the real chip.
+
+Runs the full pipeline on families from the reference benchmark suites
+(TEST/{bali3,ox,oxx,sabre}), scores every output against the published
+golden MSAs (output4evaluation/<suite>/<family>) with SP/TC, and writes
+an incremental, resumable JSON report (QUALITY_r{N}.json).
+
+Family selection per suite: the BASELINE_CPU.json stratified sample
+(direct wall-clock comparison against the measured reference pipeline on
+this host) plus the first --extra alphabetical families for quality
+coverage (the reference's own harness model, script.py:31-69).
+
+Usage:
+    python tools/quality_campaign.py --out QUALITY_r04.json \
+        [--suites bali3,ox,oxx,sabre] [--extra 50] [--timeout 900]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import signal
+import sys
+import time
+import traceback
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parents[1]))
+
+REF = Path("/root/reference")
+
+
+def run_family(path: Path, golden: Path | None, timeout: int) -> dict:
+    from mlprobs_tpu.bench.quality import sp_tc
+    from mlprobs_tpu.core.fasta import read_fasta
+    from mlprobs_tpu.core.msa import MSA
+    from mlprobs_tpu.pipeline.driver import run_pipeline
+
+    rec = {"family": path.name}
+    records = read_fasta(path)
+    rec["num_seqs"] = len(records)
+    rec["max_len"] = max((len(s) for _, s in records), default=0)
+
+    def _alarm(signum, frame):
+        raise TimeoutError(f"{path.name} exceeded {timeout}s")
+
+    t0 = time.time()
+    try:
+        if timeout:
+            signal.signal(signal.SIGALRM, _alarm)
+            signal.alarm(timeout)
+        out, rep = run_pipeline(records)
+    except TimeoutError as e:
+        rec["seconds"] = time.time() - t0
+        rec["error"] = str(e)
+        return rec
+    except Exception as e:
+        rec["seconds"] = time.time() - t0
+        rec["error"] = f"{type(e).__name__}: {e}"
+        rec["trace"] = traceback.format_exc(limit=3)
+        return rec
+    finally:
+        if timeout:
+            signal.alarm(0)
+    rec["seconds"] = time.time() - t0
+    rec.update(
+        strategy=rep.strategy, realign_mode=rep.realign_mode,
+        crash_fallback=rep.crash_fallback,
+        whole_family_realign=rep.whole_family_realign,
+        engines=rep.engines, final_hash=rep.final_hash,
+    )
+    if rep.error:
+        rec["pipeline_error"] = rep.error
+    if golden and golden.exists():
+        try:
+            ref = MSA.from_records(read_fasta(golden))
+            sp, tc = sp_tc(out, ref)
+            rec["sp"], rec["tc"] = round(sp, 4), round(tc, 4)
+        except Exception as e:
+            rec["score_error"] = f"{type(e).__name__}: {e}"
+    return rec
+
+
+def select_families(suite: str, extra: int) -> list[str]:
+    base = json.loads((Path(__file__).parents[1]
+                       / "BASELINE_CPU.json").read_text())
+    sampled = [f["family"] for f in
+               base["suites"].get(suite, {}).get("families", [])]
+    alpha = sorted(
+        p.name for p in (REF / "TEST" / suite / "in").iterdir()
+    )[:extra]
+    seen: set[str] = set()
+    out = []
+    for name in sampled + alpha:
+        if name not in seen:
+            seen.add(name)
+            out.append(name)
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="QUALITY_r04.json")
+    ap.add_argument("--suites", default="sabre,ox,bali3,oxx")
+    ap.add_argument("--extra", type=int, default=50)
+    ap.add_argument("--timeout", type=int, default=900)
+    args = ap.parse_args()
+
+    outp = Path(args.out)
+    state: dict = {"suites": {}}
+    if outp.exists():
+        state = json.loads(outp.read_text())
+    done = {
+        (s, f["family"])
+        for s, sd in state["suites"].items()
+        for f in sd.get("families", [])
+    }
+
+    for suite in args.suites.split(","):
+        sd = state["suites"].setdefault(suite, {"families": []})
+        for fam in select_families(suite, args.extra):
+            if (suite, fam) in done:
+                continue
+            rec = run_family(
+                REF / "TEST" / suite / "in" / fam,
+                REF / "output4evaluation" / suite / fam,
+                args.timeout,
+            )
+            sd["families"].append(rec)
+            _summarise(state)
+            outp.write_text(json.dumps(state, indent=1))
+            print(f"{suite}/{fam}: {rec.get('seconds', 0):.1f}s "
+                  f"sp={rec.get('sp')} tc={rec.get('tc')} "
+                  f"err={rec.get('error', rec.get('pipeline_error'))}",
+                  flush=True)
+    _summarise(state)
+    outp.write_text(json.dumps(state, indent=1))
+    print(json.dumps({s: sd.get("summary") for s, sd in
+                      state["suites"].items()}, indent=1))
+    return 0
+
+
+def _summarise(state: dict) -> None:
+    try:
+        base = json.loads((Path(__file__).parents[1]
+                           / "BASELINE_CPU.json").read_text())
+    except OSError:
+        base = {"suites": {}}
+    for suite, sd in state["suites"].items():
+        fams = sd.get("families", [])
+        scored = [f for f in fams if "sp" in f]
+        ok = [f for f in fams if "seconds" in f and "error" not in f]
+        summ = {
+            "families": len(fams),
+            "errors": sum(1 for f in fams if "error" in f),
+            "mean_sec": (sum(f["seconds"] for f in ok) / len(ok)
+                         if ok else None),
+            "mean_sp": (sum(f["sp"] for f in scored) / len(scored)
+                        if scored else None),
+            "mean_tc": (sum(f["tc"] for f in scored) / len(scored)
+                        if scored else None),
+            "min_sp": min((f["sp"] for f in scored), default=None),
+            "below_0.9_sp": [f["family"] for f in scored
+                             if f["sp"] < 0.9],
+        }
+        # direct wall-clock ratio on the CPU-baseline stratified sample
+        bfams = {f["family"]: f["seconds"] for f in
+                 base["suites"].get(suite, {}).get("families", [])}
+        both = [(f["seconds"], bfams[f["family"]]) for f in ok
+                if f["family"] in bfams]
+        if both:
+            ours = sum(t for t, _ in both)
+            ref = sum(t for _, t in both)
+            summ["baseline_sample_overlap"] = len(both)
+            summ["baseline_sample_speedup"] = (
+                ref / ours if ours else None
+            )
+        sd["summary"] = summ
+    return
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
