@@ -56,6 +56,20 @@ def test_progressive_alignment_parity(fam):
     assert ref == ours
 
 
+@pytest.mark.parametrize("fam", ["sup_387", "sup_386", "twi_009"])
+def test_nonprogressive_alignment_parity(fam):
+    """The NP path (alignment graph + k-means refinement, npdoAlign
+    MSA.cpp:1084-1162 / AlignGraph.h:894-1160) is byte-identical to the
+    reference binary's -p 1 output on these families."""
+    path = FAMS / fam
+    ref = dict(parse_fasta(_run_ref(["-p", "1", str(path)])))
+    ours = dict(
+        align_family(read_fasta(path), config="pnp", strategy=1)
+        .to_records()
+    )
+    assert ref == ours
+
+
 @pytest.mark.skipif(not QPROBS.exists(), reason="quickprobs binary absent")
 @pytest.mark.parametrize("fam", ["sup_387", "twi_009"])
 def test_quickprobs_realigner_quality_parity(fam):

@@ -68,6 +68,7 @@ def run_family(path: Path, golden: Path | None, timeout: int) -> dict:
         crash_fallback=rep.crash_fallback,
         whole_family_realign=rep.whole_family_realign,
         engines=rep.engines, final_hash=rep.final_hash,
+        timings={k: round(v, 3) for k, v in rep.timings.items()},
     )
     if rep.error:
         rec["pipeline_error"] = rep.error
