@@ -25,6 +25,7 @@ from mlprobs_tpu.align.traceback import viterbi_traceback
 from mlprobs_tpu.core.msa import MSA
 from mlprobs_tpu.models import params as mp
 from mlprobs_tpu.utils.crand import GlibcRand
+from mlprobs_tpu.utils.stats import GLOBAL as STATS
 
 
 @dataclass
@@ -186,6 +187,7 @@ def align_family(
     stats: FamilyStats | None = None,
     strategy: int = 0,
     report: dict | None = None,
+    observer=None,
 ) -> MSA:
     """Align one family of unaligned sequences; returns the final MSA.
 
@@ -193,7 +195,9 @@ def align_family(
     non-progressive alignment-graph path (npdoAlign, align/graph.py).
     `report`, when given, records which engines actually ran
     (posterior engine, consistency device-vs-host) — silent engine
-    downgrades must be observable (SURVEY §5.5).
+    downgrades must be observable (SURVEY §5.5).  `observer` is the
+    refinement iteration hook (IRefinementObserver /
+    ExtendedMSA::iterationDone autosave role).
     """
     if report is None:
         report = {}
@@ -340,12 +344,14 @@ def align_family(
                 out, posts, weights_c, rng, iters,
                 acceptance_length=rcfg.acceptance_length,
                 acceptance_entropy=rcfg.acceptance_entropy,
+                observer=observer,
             )
         elif rcfg.refinement_type == "tree":
             out = refine_qp.tree_refinement(
                 out, posts, weights_c, rng, iters, root,
                 acceptance_length=rcfg.acceptance_length,
                 acceptance_entropy=rcfg.acceptance_entropy,
+                observer=observer,
             )
         else:
             out = refine_qp.column_refinement(
@@ -356,7 +362,9 @@ def align_family(
                 acceptance_length=rcfg.acceptance_length,
                 acceptance_entropy=rcfg.acceptance_entropy,
                 num_seqs_total=n,
+                observer=observer,
             )
+        STATS.log_device_memory("quickprobs")
         return out
 
     tensor = None
@@ -390,6 +398,7 @@ def align_family(
     out = progressive.compute_final_alignment(
         root, msa, posts, pid=pid, rng=rng, base_reps=base_reps
     )
+    STATS.log_device_memory("pnp")
     return out
 
 

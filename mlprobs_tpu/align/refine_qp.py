@@ -138,6 +138,7 @@ def column_refinement(
     acceptance_entropy: bool = False,
     config_iterations: int = -1,
     num_seqs_total: int | None = None,
+    observer=None,
 ) -> MSA:
     """ColumnRefinement with recursion and exact division-column RNG.
 
@@ -187,8 +188,10 @@ def column_refinement(
             return candidate
         return sub
 
-    for _ in range(iterations):
+    for it in range(iterations):
         alignment = refine(alignment, 0)
+        if observer is not None:
+            observer(alignment, it)
     return alignment
 
 
@@ -201,10 +204,11 @@ def random_refinement(
     cutoff: float = CUTOFF,
     acceptance_length: bool = True,
     acceptance_entropy: bool = False,
+    observer=None,
 ) -> MSA:
     """RandomRefinement: RNG bipartition with acceptance tests."""
     n = alignment.num_seqs
-    for _ in range(iterations):
+    for it in range(iterations):
         g1 = [i for i in range(n) if rng.rand() % 2]
         g2 = [i for i in range(n) if i not in set(g1)]
         if not g1 or not g2:
@@ -214,6 +218,8 @@ def random_refinement(
         if check_acceptance(alignment, candidate, acceptance_length,
                             acceptance_entropy):
             alignment = candidate
+        if observer is not None:
+            observer(alignment, it)
     return alignment
 
 
@@ -227,8 +233,12 @@ def tree_refinement(
     cutoff: float = CUTOFF,
     acceptance_length: bool = True,
     acceptance_entropy: bool = False,
+    observer=None,
 ) -> MSA:
-    """TreeRefinement: cut a random internal edge; realign the sides."""
+    """TreeRefinement: cut a random internal edge; realign the sides.
+
+    `observer(alignment, iteration)` is the IRefinementObserver hook
+    (ExtendedMSA::iterationDone autosave, ExtendedMSA.cpp:228-236)."""
     from mlprobs_tpu.align.tree import TreeNode, leaves
 
     internals: list[TreeNode] = []
@@ -243,7 +253,7 @@ def tree_refinement(
     collect(root)
     n = alignment.num_seqs
     label_to_row = {int(l): r for r, l in enumerate(alignment.labels)}
-    for _ in range(iterations):
+    for it in range(iterations):
         if not internals:
             break
         node = internals[rng.rand() % len(internals)]
@@ -257,6 +267,8 @@ def tree_refinement(
                             acceptance_entropy):
             alignment = candidate
         label_to_row = {int(l): r for r, l in enumerate(alignment.labels)}
+        if observer is not None:
+            observer(alignment, it)
     return alignment
 
 

@@ -61,6 +61,9 @@ class RealignerConfig:
     ignore_terminal_gaps: bool = True
     acceptance_length: bool = True
     acceptance_entropy: bool = False
+    # refinement autosave every k iterations; 0 = off (the reference
+    # default is int::max, ExtendedMSA.cpp:228-236)
+    autosave_every: int = 0
 
 
 @dataclass

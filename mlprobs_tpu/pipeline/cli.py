@@ -37,8 +37,18 @@ def _cmd_base(args) -> int:
     from mlprobs_tpu.core.fasta import read_fasta, write_fasta
 
     records = read_fasta(args.input)
+    observer = None
+    if args.autosave:
+        # ExtendedMSA::iterationDone autosave (ExtendedMSA.cpp:228-236)
+        def observer(alignment, iteration):
+            if iteration % args.autosave == 0:
+                write_fasta(
+                    f"{args.output}_r{iteration}",
+                    alignment.to_records(), width=0,
+                )
+
     out = align_family(records, config=args.config,
-                       strategy=args.strategy)
+                       strategy=args.strategy, observer=observer)
     if args.clustalw:
         from mlprobs_tpu.pipeline.auxtools import write_clustal
 
@@ -144,6 +154,9 @@ def main(argv=None) -> int:
                    help="0 = progressive, 1 = non-progressive")
     b.add_argument("--clustalw", action="store_true",
                    help="write ClustalW .aln output")
+    b.add_argument("--autosave", type=int, default=0,
+                   help="autosave refinement every N iterations to "
+                        "<output>_r<iter> (0 = off)")
     b.set_defaults(fn=_cmd_base)
 
     c = sub.add_parser("bench", help="run a benchmark suite")

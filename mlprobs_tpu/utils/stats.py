@@ -46,6 +46,23 @@ class Stats:
     def report(self) -> str:
         return json.dumps(self.to_dict(), default=float, sort_keys=True)
 
+    def log_device_memory(self, tag: str) -> None:
+        """Record the device's live/peak HBM bytes under `tag` — the
+        LOG_MEM analogue (MemoryTools::processCurrentVirtual,
+        QuickPosteriorStage.cpp:89-101).  No-op when the backend does
+        not expose memory_stats (CPU, some PJRT plugins)."""
+        try:
+            import jax
+
+            ms = jax.local_devices()[0].memory_stats()
+        except Exception:
+            return
+        if not ms:
+            return
+        for k in ("bytes_in_use", "peak_bytes_in_use"):
+            if k in ms:
+                self.write(f"mem.{tag}.{k}", int(ms[k]))
+
     def reset(self) -> None:
         self.values.clear()
         self.timers.clear()
