@@ -188,6 +188,7 @@ def align_family(
     strategy: int = 0,
     report: dict | None = None,
     observer=None,
+    keep: dict | None = None,
 ) -> MSA:
     """Align one family of unaligned sequences; returns the final MSA.
 
@@ -244,6 +245,8 @@ def align_family(
             s = score / nb if nb else 0.0
             dist[i, j] = dist[j, i] = s
         posts = cons.relax_sparse(posts, lengths, reps=2)
+        if keep is not None:
+            keep["posts"] = posts
         out = graph_align(msa, posts, seqs)
         out = np_refinement(out, posts, dist, GlibcRand(12345),
                             base_reps=100)
@@ -329,6 +332,8 @@ def align_family(
                 selectivity=rcfg.selectivity,
                 distances=None if accept_all else cd,
             )
+        if keep is not None:
+            keep["posts"] = posts
         weights_c = cons.saturate_weights(
             treelib.clustalw_weights(root, n) / 100.0,
             rcfg.final_saturation,
@@ -394,6 +399,8 @@ def align_family(
             report["consistency_engine"] = "sector"
         else:
             posts = cons.relax_sparse(posts, lengths, reps=2)
+    if keep is not None:
+        keep["posts"] = posts
     root = treelib.upgma(dist, variance_id=vbit)
     out = progressive.compute_final_alignment(
         root, msa, posts, pid=pid, rng=rng, base_reps=base_reps

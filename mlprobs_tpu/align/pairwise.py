@@ -287,13 +287,14 @@ def _wf_fn(models: tuple[str, ...], with_matches: bool):
 
         def run_pallas(X, Y, LX, LY, tabs_f, tabs_r):
             def body(x, y, lx, ly):
-                out = wk.posterior_pallas(
+                # sparsification is fused into the combine kernel: the
+                # posterior plane never reaches HBM on this path
+                return wk.posterior_pallas(
                     x, y, lx, ly, tabs_f, tabs_r,
                     models=models, with_matches=with_matches,
+                    topk=TOPK, cutoff=CUTOFF,
                     interpret=_pallas_interpret(),
                 )
-                vals, lanes = _topk_post_fn(x.shape[1])(out[0])
-                return (vals, lanes) + tuple(out[1:])
 
             if mesh is None:
                 return body(X, Y, LX, LY)

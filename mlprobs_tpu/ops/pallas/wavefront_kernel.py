@@ -677,9 +677,9 @@ def _sweep_jit(
 
 
 def _combine_kernel_body(
-    models, lp, with_matches,
+    models, lp, with_matches, topk, cutoff,
     meta_ref, l2t_refs, fwd_refs, rev_hbm_refs,
-    post_ref, score_ref, nb_ref,
+    post_ref, score_ref, nb_ref, vals_ref, lanes_ref,
     mwt_ref, rev_buf, sem,
 ):
     dc = pl.program_id(1)
@@ -767,7 +767,33 @@ def _combine_kernel_body(
             prow = jnp.sqrt(acc)
         else:
             prow = jnp.sqrt(acc / nm)
-        post_ref[k] = prow
+        if topk:
+            # fused per-diagonal top-k (Finalization.cl + SparseMatrix.cl
+            # role): k iterative masked-max extractions keep the big
+            # posterior plane out of HBM entirely on the sparse path
+            rem = jnp.where(prow >= cutoff, prow, 0.0)
+            vrow = jnp.zeros_like(prow[:, :128])
+            lrow = jnp.zeros((prow.shape[0], 128), jnp.int32)
+            lane128 = jax.lax.broadcasted_iota(
+                jnp.int32, (1, 128), 1
+            )
+            for t in range(topk):
+                v = jnp.max(rem, axis=1, keepdims=True)
+                hit = (rem == v) & (v > 0)
+                # lowest lane among ties (top_k tie order)
+                lidx = jnp.min(
+                    jnp.where(hit, lane, wp), axis=1, keepdims=True
+                )
+                rem = jnp.where(lane == lidx, 0.0, rem)
+                sel = lane128 == t
+                vrow = jnp.where(sel, v, vrow)
+                lrow = jnp.where(
+                    sel, jnp.where(v > 0, lidx, 0), lrow
+                )
+            vals_ref[k] = vrow
+            lanes_ref[k] = lrow
+        else:
+            post_ref[k] = prow
 
         # ---- MWT carry --------------------------------------------------
         s1, s2 = mwt_ref[0], mwt_ref[1]
@@ -815,18 +841,26 @@ def _combine_kernel_body(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("models", "lp", "with_matches", "interpret"),
+    static_argnames=(
+        "models", "lp", "with_matches", "topk", "cutoff", "interpret"
+    ),
 )
 def combine(
     fwd_planes, fwd_l2t, rev_planes, rev_l2t, lx, ly,
     models: tuple[str, ...],
     lp: int,
     with_matches: bool = False,
+    topk: int = 0,
+    cutoff: float = 0.01,
     interpret: bool = False,
 ):
     """Posterior combine + MWT over sweep outputs.
 
-    Returns (post (Dp, B, Wp) f32, score (B,), nb (B,) [if requested]).
+    topk == 0: returns (post (Dp, B, Wp) f32, score (B,), nb).
+    topk > 0: the posterior plane never leaves VMEM; returns
+    (vals (Dp, B, topk) f32, lanes (Dp, B, topk) int32, score, nb) —
+    the per-diagonal top-k extraction fused into the kernel
+    (Finalization.cl + SparseMatrix.cl roles).
     Totals: hmm5/local average the fwd and rev log2-totals; partition
     uses the forward total (ops/wavefront.posterior_skew semantics).
     """
@@ -850,12 +884,18 @@ def combine(
         l2t_refs = refs[1: 1 + nm]
         fwd_refs = refs[1 + nm: 1 + 2 * nm]
         rev_refs = refs[1 + 2 * nm: 1 + 3 * nm]
-        post_ref, score_ref, nb_ref = refs[1 + 3 * nm: 4 + 3 * nm]
-        mwt_ref, rev_buf, sem = refs[4 + 3 * nm:]
+        outs = refs[1 + 3 * nm: 1 + 3 * nm + 4]
+        if topk:
+            vals_ref, lanes_ref, score_ref, nb_ref = outs
+            post_ref = None
+        else:
+            post_ref, score_ref, nb_ref = outs[:3]
+            vals_ref = lanes_ref = None
+        mwt_ref, rev_buf, sem = refs[1 + 3 * nm + (4 if topk else 3):]
         _combine_kernel_body(
-            models, lp, with_matches,
+            models, lp, with_matches, topk, cutoff,
             meta_ref, l2t_refs, fwd_refs, rev_refs,
-            post_ref, score_ref, nb_ref,
+            post_ref, score_ref, nb_ref, vals_ref, lanes_ref,
             mwt_ref, rev_buf, sem,
         )
 
@@ -871,21 +911,35 @@ def combine(
         # reversed-row remap
         + [pl.BlockSpec(memory_space=pltpu.ANY) for _ in models]
     )
-    out_specs = (
-        pl.BlockSpec((CH, bb, wp), lambda i, j: (j, i, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((bb, 128), lambda i, j: (i, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((bb, 128), lambda i, j: (i, 0),
-                     memory_space=pltpu.VMEM),
-    )
-    out_shape = (
-        jax.ShapeDtypeStruct((dp, b, wp), jnp.float32),
-        jax.ShapeDtypeStruct((b, 128), jnp.float32),
-        jax.ShapeDtypeStruct((b, 128), jnp.float32),
-    )
+    scalar_spec = pl.BlockSpec((bb, 128), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM)
+    if topk:
+        out_specs = (
+            pl.BlockSpec((CH, bb, 128), lambda i, j: (j, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CH, bb, 128), lambda i, j: (j, i, 0),
+                         memory_space=pltpu.VMEM),
+            scalar_spec, scalar_spec,
+        )
+        out_shape = (
+            jax.ShapeDtypeStruct((dp, b, 128), jnp.float32),
+            jax.ShapeDtypeStruct((dp, b, 128), jnp.int32),
+            jax.ShapeDtypeStruct((b, 128), jnp.float32),
+            jax.ShapeDtypeStruct((b, 128), jnp.float32),
+        )
+    else:
+        out_specs = (
+            pl.BlockSpec((CH, bb, wp), lambda i, j: (j, i, 0),
+                         memory_space=pltpu.VMEM),
+            scalar_spec, scalar_spec,
+        )
+        out_shape = (
+            jax.ShapeDtypeStruct((dp, b, wp), jnp.float32),
+            jax.ShapeDtypeStruct((b, 128), jnp.float32),
+            jax.ShapeDtypeStruct((b, 128), jnp.float32),
+        )
     nmwt = 6
-    post, score, nb = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
@@ -902,6 +956,11 @@ def combine(
         interpret=interpret,
     )(meta, *l2ts, *[fwd_planes[m] for m in models],
       *[rev_planes[m][:, :, ::-1] for m in models])
+    if topk:
+        vals, lanes, score, nb = outs
+        res = (vals[:, :, :topk], lanes[:, :, :topk], score[:, 0])
+        return res + ((nb[:, 0],) if with_matches else ())
+    post, score, nb = outs
     if with_matches:
         return post, score[:, 0], nb[:, 0]
     return post, score[:, 0]
@@ -916,14 +975,19 @@ def posterior_pallas(
     X, Y, LX, LY, tabs_f, tabs_r,
     models: tuple[str, ...],
     with_matches: bool = False,
+    topk: int = 0,
+    cutoff: float = 0.01,
     interpret: bool = False,
 ):
     """Fused-kernel replacement for the scan engine's posterior stage.
 
-    Returns (post_skew (Dp, B, Wp), score (B,)[, nb (B,)]): the skewed
-    combined posterior plane (zero beyond the true D/W extents) plus the
-    MWT accuracy scores — the same contract as composing
-    wavefront.wavefront_forward + posterior_skew + mwt_skew.
+    topk == 0: returns (post_skew (Dp, B, Wp), score (B,)[, nb (B,)]) —
+    the skewed combined posterior plane (zero beyond the true D/W
+    extents) plus the MWT accuracy scores, the same contract as
+    composing wavefront.wavefront_forward + posterior_skew + mwt_skew.
+    topk > 0: returns (vals (Dp, B, topk), lanes, score[, nb]) with the
+    sparsification fused into the combine kernel (the posterior plane
+    never reaches HBM).
     """
     b, lp = X.shape
     zero = jnp.zeros((b,), jnp.int32)
@@ -938,5 +1002,5 @@ def posterior_pallas(
     return combine(
         fwd_planes, fwd_l2t, rev_planes, rev_l2t, LX, LY,
         models=models, lp=lp, with_matches=with_matches,
-        interpret=interpret,
+        topk=topk, cutoff=cutoff, interpret=interpret,
     )

@@ -47,8 +47,19 @@ def _cmd_base(args) -> int:
                     alignment.to_records(), width=0,
                 )
 
+    keep: dict = {}
     out = align_family(records, config=args.config,
-                       strategy=args.strategy, observer=observer)
+                       strategy=args.strategy, observer=observer,
+                       keep=keep if args.annot else None)
+    if args.annot:
+        # per-column 0-200 reliability scores (-annot, MSA.cpp:2142-2206)
+        from mlprobs_tpu.pipeline.auxtools import annotation_scores
+
+        scores = annotation_scores(out.sort_by_label(),
+                                   keep.get("posts", {}))
+        Path(args.annot).write_text(
+            "".join(f"{s:4d}\n" for s in scores)
+        )
     if args.clustalw:
         from mlprobs_tpu.pipeline.auxtools import write_clustal
 
@@ -157,6 +168,9 @@ def main(argv=None) -> int:
     b.add_argument("--autosave", type=int, default=0,
                    help="autosave refinement every N iterations to "
                         "<output>_r<iter> (0 = off)")
+    b.add_argument("--annot", default=None,
+                   help="write per-column 0-200 reliability scores "
+                        "to this file (-annot role)")
     b.set_defaults(fn=_cmd_base)
 
     c = sub.add_parser("bench", help="run a benchmark suite")

@@ -80,6 +80,31 @@ def test_posterior_pallas_matches_scan(mode, models):
     np.testing.assert_array_equal(np.asarray(nb), np.asarray(nb_want))
 
 
+def test_posterior_pallas_fused_topk():
+    """topk fused into the combine kernel == XLA top_k over the plane."""
+    X, Y, L = _batch(seed=7)
+    tabs_f, tabs_r = pairwise._wf_tables("qp", None)
+    models = ("hmm5", "partition")
+    post, score = wk.posterior_pallas(
+        X, Y, L, L, tabs_f, tabs_r, models=models, interpret=True
+    )
+    vals_w, lanes_w = wf.topk_skew(post, 16, 0.01)
+    vals_k, lanes_k, score_k = wk.posterior_pallas(
+        X, Y, L, L, tabs_f, tabs_r, models=models,
+        topk=16, cutoff=0.01, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(vals_k), np.asarray(vals_w), atol=1e-7
+    )
+    vw = np.asarray(vals_w)
+    np.testing.assert_array_equal(
+        np.asarray(lanes_k)[vw > 0], np.asarray(lanes_w)[vw > 0]
+    )
+    np.testing.assert_allclose(
+        np.asarray(score_k), np.asarray(score), atol=1e-6
+    )
+
+
 def test_posterior_pallas_small_batch():
     """B smaller than the pair-block size (the long-pair regime)."""
     X, Y, L = _batch(lp=128, b=2, seed=3)

@@ -70,6 +70,29 @@ def test_nonprogressive_alignment_parity(fam):
     assert ref == ours
 
 
+def test_annotation_parity(tmp_path):
+    """-annot reliability scores (MSA.cpp:2142-2206): per-column values
+    match the reference binary within 1 (f32 rounding at the int
+    floor)."""
+    import subprocess as sp
+
+    fam = FAMS / "sup_387"
+    ref_annot = tmp_path / "ref_annot.txt"
+    sp.run(
+        [str(CPNP), "-p", "0", "-annot", str(ref_annot), str(fam)],
+        capture_output=True, timeout=300,
+    )
+    from mlprobs_tpu.align.aligner import align_family as af
+    from mlprobs_tpu.pipeline.auxtools import annotation_scores
+
+    keep: dict = {}
+    out = af(read_fasta(fam), config="pnp", keep=keep)
+    scores = annotation_scores(out.sort_by_label(), keep["posts"])
+    want = [int(x) for x in ref_annot.read_text().split()]
+    assert len(scores) == len(want)
+    assert max(abs(int(a) - b) for a, b in zip(scores, want)) <= 1
+
+
 @pytest.mark.skipif(not QPROBS.exists(), reason="quickprobs binary absent")
 @pytest.mark.parametrize("fam", ["sup_387", "twi_009"])
 def test_quickprobs_realigner_quality_parity(fam):
