@@ -87,12 +87,96 @@ def mwt_path(post: np.ndarray) -> tuple[np.ndarray, float]:
     return path, float(score)
 
 
+class PostPool:
+    """Pooled COO of all ordered pair posteriors.
+
+    Built once per posts dict so the native profile builder
+    (BuildPosterior role) can scatter every inter-group pair without
+    per-pair Python/scipy work; `index[(la, lb)]` -> (start, len) into
+    the shared (r, c, v) pools (both orientations stored)."""
+
+    def __init__(self, posts: dict[tuple[int, int], sp.csr_matrix]):
+        rs, cs, vs = [], [], []
+        self.index: dict[tuple[int, int], tuple[int, int]] = {}
+        off = 0
+        for (i, j), s in posts.items():
+            coo = s.tocoo()
+            r = coo.row.astype(np.int32)
+            c = coo.col.astype(np.int32)
+            v = coo.data.astype(np.float32)
+            rs += [r, c]
+            cs += [c, r]
+            vs += [v, v]
+            self.index[(i, j)] = (off, len(v))
+            off += len(v)
+            self.index[(j, i)] = (off, len(v))
+            off += len(v)
+        z32 = np.zeros(0, np.int32)
+        self.r = np.concatenate(rs) if rs else z32
+        self.c = np.concatenate(cs) if cs else z32
+        self.v = (np.concatenate(vs) if vs
+                  else np.zeros(0, np.float32))
+
+
+def _native_profile_posterior(group1, group2, pool, weights,
+                              cutoff_sub):
+    from mlprobs_tpu.utils import native
+
+    if native.lib() is None:
+        return None
+    l1, l2 = group1.length, group2.length
+    maps1 = [np.flatnonzero(group1.rows[a] >= 0).astype(np.int32)
+             for a in range(group1.num_seqs)]
+    maps2 = [np.flatnonzero(group2.rows[b] >= 0).astype(np.int32)
+             for b in range(group2.num_seqs)]
+    m1_off = np.zeros(len(maps1) + 1, np.int64)
+    m1_off[1:] = np.cumsum([len(m) for m in maps1])
+    m2_off = np.zeros(len(maps2) + 1, np.int64)
+    m2_off[1:] = np.cumsum([len(m) for m in maps2])
+    n1, n2 = group1.num_seqs, group2.num_seqs
+    la = [int(x) for x in group1.labels]
+    lb = [int(x) for x in group2.labels]
+    if weights is not None:
+        total_w = sum(
+            float(weights[a]) * float(weights[b])
+            for a in la for b in lb
+        ) or 1.0
+    starts = np.empty(n1 * n2, np.int64)
+    lens = np.empty(n1 * n2, np.int64)
+    a_idx = np.empty(n1 * n2, np.int32)
+    b_idx = np.empty(n1 * n2, np.int32)
+    wts = np.empty(n1 * n2, np.float32)
+    k = 0
+    for a in range(n1):
+        for b in range(n2):
+            ent = pool.index.get((la[a], lb[b]))
+            if ent is None:
+                continue
+            starts[k], lens[k] = ent
+            a_idx[k], b_idx[k] = a, b
+            wts[k] = (
+                float(weights[la[a]]) * float(weights[lb[b]]) / total_w
+                if weights is not None else 1.0
+            )
+            k += 1
+    return native.profile_posterior(
+        l1, l2, starts[:k], lens[:k], a_idx[:k], b_idx[:k], wts[:k],
+        pool.r, pool.c, pool.v,
+        np.concatenate(maps1) if maps1 else np.zeros(0, np.int32),
+        m1_off,
+        np.concatenate(maps2) if maps2 else np.zeros(0, np.int32),
+        m2_off,
+        cutoff_sub,
+    )
+
+
 def build_profile_posterior(
     group1: MSA,
     group2: MSA,
     posts: dict[tuple[int, int], sp.csr_matrix],
     weights: np.ndarray | None = None,
     cutoff_sub: float = 0.0,
+    pool: PostPool | None = None,
 ) -> np.ndarray:
     """Dense (L1, L2) profile posterior by scatter through gap mappings.
 
@@ -100,8 +184,15 @@ def build_profile_posterior(
     unweighted builder is used (refinement path).  `cutoff_sub` is the
     QuickProbs posteriorCutoff subtraction (w * cutoff removed at every
     mapped cell, ProbabilisticModel.h:1253-1257); the base aligner runs
-    with cutoff 0 (MSA.cpp:38).
+    with cutoff 0 (MSA.cpp:38).  With a `pool`, the scatter runs in the
+    native OpenMP runtime (BuildPosterior, ProbabilisticModel.h:1290).
     """
+    if pool is not None:
+        out = _native_profile_posterior(
+            group1, group2, pool, weights, cutoff_sub
+        )
+        if out is not None:
+            return out
     l1, l2 = group1.length, group2.length
     maps1 = [np.flatnonzero(group1.rows[a] >= 0) for a in range(group1.num_seqs)]
     maps2 = [np.flatnonzero(group2.rows[b] >= 0) for b in range(group2.num_seqs)]
@@ -162,10 +253,11 @@ def align_profiles(
     posts: dict[tuple[int, int], sp.csr_matrix],
     weights: np.ndarray | None,
     cutoff_sub: float = 0.0,
+    pool: PostPool | None = None,
 ) -> tuple[MSA, float]:
     """AlignAlignments: profile posterior -> MWT -> merge -> sort."""
     prof = build_profile_posterior(group1, group2, posts, weights,
-                                   cutoff_sub=cutoff_sub)
+                                   cutoff_sub=cutoff_sub, pool=pool)
     path, score = mwt_path(prof)
     merged = merge_alignments(group1, group2, path)
     return merged.sort_by_label(), score
@@ -177,12 +269,18 @@ def process_tree(
     posts: dict[tuple[int, int], sp.csr_matrix],
     weights: np.ndarray,
     cutoff_sub: float = 0.0,
+    pool: PostPool | None = None,
 ) -> MSA:
+    if pool is None:
+        pool = PostPool(posts)
     if node.leaf:
         return seqs_msa.project([node.idx])
-    left = process_tree(node.left, seqs_msa, posts, weights, cutoff_sub)
-    right = process_tree(node.right, seqs_msa, posts, weights, cutoff_sub)
-    merged, _ = align_profiles(left, right, posts, weights, cutoff_sub)
+    left = process_tree(node.left, seqs_msa, posts, weights,
+                        cutoff_sub, pool)
+    right = process_tree(node.right, seqs_msa, posts, weights,
+                         cutoff_sub, pool)
+    merged, _ = align_profiles(left, right, posts, weights,
+                               cutoff_sub, pool)
     return merged
 
 
@@ -190,6 +288,7 @@ def iterative_refinement_pass(
     alignment: MSA,
     posts: dict[tuple[int, int], sp.csr_matrix],
     rng: GlibcRand,
+    pool: PostPool | None = None,
 ) -> tuple[MSA, int]:
     """One DoIterativeRefinement pass.  Returns (alignment, flag).
 
@@ -203,7 +302,8 @@ def iterative_refinement_pass(
         return alignment, 2
     g1 = alignment.project(group1_idx)
     g2 = alignment.project(group2_idx)
-    prof = build_profile_posterior(g1, g2, posts, weights=None)
+    prof = build_profile_posterior(g1, g2, posts, weights=None,
+                                   pool=pool)
 
     # accuracy of the current alignment under the profile posterior
     in1 = (alignment.rows[group1_idx] >= 0).any(axis=0)
@@ -230,7 +330,8 @@ def compute_final_alignment(
     """ProcessTree + the adaptive refinement loop (MSA.cpp:1481-1534)."""
     n = seqs_msa.num_seqs
     weights = clustalw_weights(root, n)
-    alignment = process_tree(root, seqs_msa, posts, weights)
+    pool = PostPool(posts)
+    alignment = process_tree(root, seqs_msa, posts, weights, pool=pool)
 
     reps = base_reps
     if pid > 3 or n > 150:
@@ -241,7 +342,9 @@ def compute_final_alignment(
     i = 0
     iter_cutoff = 100
     while i < reps:
-        alignment, flag = iterative_refinement_pass(alignment, posts, rng)
+        alignment, flag = iterative_refinement_pass(
+            alignment, posts, rng, pool=pool
+        )
         if n > 20:
             if n < 200:
                 if flag > 0:

@@ -17,7 +17,9 @@ import math
 
 import numpy as np
 
-from mlprobs_tpu.align.progressive import build_profile_posterior, mwt_path
+from mlprobs_tpu.align.progressive import (
+    PostPool, build_profile_posterior, mwt_path,
+)
 from mlprobs_tpu.core import alphabet
 from mlprobs_tpu.core.msa import MSA, merge_alignments
 from mlprobs_tpu.utils import qprand
@@ -115,11 +117,12 @@ def update_column_scores(
     return [(int(c), float(gaps[c])) for c in order if gaps[c] != 0.0]
 
 
-def _realign_groups(alignment, g1, g2, posts, weights, cutoff):
+def _realign_groups(alignment, g1, g2, posts, weights, cutoff,
+                    pool=None):
     p1 = alignment.project(g1)
     p2 = alignment.project(g2)
     prof = build_profile_posterior(p1, p2, posts, weights,
-                                   cutoff_sub=cutoff)
+                                   cutoff_sub=cutoff, pool=pool)
     path, _ = mwt_path(prof)
     return merge_alignments(p1, p2, path).sort_by_label()
 
@@ -152,6 +155,7 @@ def column_refinement(
         return alignment
     eng = qprand.Mt19937Stream()
     depth_cap = min(max_depth, int(math.log2(max(n_total, 1))))
+    pool = PostPool(posts)
 
     def split(sub: MSA):
         scores = update_column_scores(sub, ignore_terminal_gaps)
@@ -180,7 +184,7 @@ def column_refinement(
             p1 = refine(p1, depth + 1)
             p2 = refine(p2, depth + 1)
         prof = build_profile_posterior(p1, p2, posts, weights,
-                                       cutoff_sub=cutoff)
+                                       cutoff_sub=cutoff, pool=pool)
         path, _ = mwt_path(prof)
         candidate = merge_alignments(p1, p2, path).sort_by_label()
         if check_acceptance(sub, candidate, acceptance_length,
@@ -208,13 +212,14 @@ def random_refinement(
 ) -> MSA:
     """RandomRefinement: RNG bipartition with acceptance tests."""
     n = alignment.num_seqs
+    pool = PostPool(posts)
     for it in range(iterations):
         g1 = [i for i in range(n) if rng.rand() % 2]
         g2 = [i for i in range(n) if i not in set(g1)]
         if not g1 or not g2:
             continue
         candidate = _realign_groups(alignment, g1, g2, posts, weights,
-                                    cutoff)
+                                    cutoff, pool=pool)
         if check_acceptance(alignment, candidate, acceptance_length,
                             acceptance_entropy):
             alignment = candidate
@@ -252,6 +257,7 @@ def tree_refinement(
 
     collect(root)
     n = alignment.num_seqs
+    pool = PostPool(posts)
     label_to_row = {int(l): r for r, l in enumerate(alignment.labels)}
     for it in range(iterations):
         if not internals:
@@ -262,7 +268,7 @@ def tree_refinement(
         if not g1 or not g2:
             continue
         candidate = _realign_groups(alignment, g1, g2, posts, weights,
-                                    cutoff)
+                                    cutoff, pool=pool)
         if check_acceptance(alignment, candidate, acceptance_length,
                             acceptance_entropy):
             alignment = candidate

@@ -170,3 +170,53 @@ def relax_all_pairs(
         out.ctypes.data_as(f32p),
     )
     return out
+
+
+def profile_posterior(
+    l1: int, l2: int,
+    pair_start: np.ndarray,     # (npairs,) int64
+    pair_len: np.ndarray,       # (npairs,) int64
+    a_idx: np.ndarray,          # (npairs,) int32
+    b_idx: np.ndarray,          # (npairs,) int32
+    wts: np.ndarray,            # (npairs,) float32
+    coo_r: np.ndarray,          # pool int32
+    coo_c: np.ndarray,          # pool int32
+    coo_v: np.ndarray,          # pool float32
+    maps1: np.ndarray, map1_off: np.ndarray,
+    maps2: np.ndarray, map2_off: np.ndarray,
+    cutoff_sub: float,
+) -> np.ndarray | None:
+    """Native BuildPosterior scatter (ProbabilisticModel.h:1197-1379);
+    returns the dense (l1, l2) float32 plane or None when the runtime
+    is unavailable."""
+    L = lib()
+    if L is None or not hasattr(L, "profile_posterior"):
+        return None
+    f32p = ctypes.POINTER(ctypes.c_float)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    L.profile_posterior.restype = None
+    L.profile_posterior.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        i64p, i64p, i32p, i32p, f32p, i32p, i32p, f32p,
+        i32p, i64p, i32p, i64p, ctypes.c_float, f32p,
+    ]
+    out = np.zeros((l1, l2), dtype=np.float32)
+    L.profile_posterior(
+        l1, l2, len(pair_start),
+        pair_start.ctypes.data_as(i64p),
+        pair_len.ctypes.data_as(i64p),
+        a_idx.ctypes.data_as(i32p),
+        b_idx.ctypes.data_as(i32p),
+        wts.ctypes.data_as(f32p),
+        coo_r.ctypes.data_as(i32p),
+        coo_c.ctypes.data_as(i32p),
+        coo_v.ctypes.data_as(f32p),
+        maps1.ctypes.data_as(i32p),
+        map1_off.ctypes.data_as(i64p),
+        maps2.ctypes.data_as(i32p),
+        map2_off.ctypes.data_as(i64p),
+        ctypes.c_float(cutoff_sub),
+        out.ctypes.data_as(f32p),
+    )
+    return out

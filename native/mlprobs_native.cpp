@@ -220,4 +220,85 @@ int viterbi_features_batch(
     return max_len;
 }
 
+// ---------------------------------------------------------------------------
+// Profile-profile posterior builder.
+//
+// The construction hot loop (ProbabilisticModel::BuildPosterior,
+// ProbabilisticModel.h:1197-1379 / ParallelProbabilisticModel.cpp
+// buildPosterior): for every inter-group sequence pair, scatter its
+// sparse posterior through the two gap mappings into the dense
+// (l1, l2) profile plane, weighted; optionally subtract w * cutoff at
+// every mapped cell (the QuickProbs posteriorCutoff subtraction over
+// ungapped rows x the first l2-1 mapped columns).
+//
+// COO pool layout: pair p owns entries [pair_off[p], pair_off[p+1]) of
+// coo_r / coo_c / coo_v (ungapped 0-based coordinates in its two
+// sequences).  maps1/maps2 pools hold each group member's
+// ungapped-position -> profile-column map (map1_off has n1+1 entries).
+//
+// OpenMP over pairs with per-thread accumulation planes, reduced at
+// the end (matches the reference's row-block parallel variant).
+void profile_posterior(
+    int l1, int l2,
+    int npairs,
+    const int64_t* pair_start,   // (npairs,) offsets into the COO pool
+    const int64_t* pair_len,     // (npairs,)
+    const int32_t* a_idx,        // (npairs,) group-1 member
+    const int32_t* b_idx,        // (npairs,) group-2 member
+    const float* wts,            // (npairs,)
+    const int32_t* coo_r,
+    const int32_t* coo_c,
+    const float* coo_v,
+    const int32_t* maps1, const int64_t* map1_off,
+    const int32_t* maps2, const int64_t* map2_off,
+    float cutoff_sub,
+    float* out                   // (l1*l2), caller-zeroed
+) {
+    const size_t plane = (size_t)l1 * l2;
+#ifdef _OPENMP
+    int nthreads = omp_get_max_threads();
+#else
+    int nthreads = 1;
+#endif
+    std::vector<std::vector<double>> acc(
+        nthreads, std::vector<double>(plane, 0.0));
+
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic)
+#endif
+    for (int p = 0; p < npairs; ++p) {
+#ifdef _OPENMP
+        double* A = acc[omp_get_thread_num()].data();
+#else
+        double* A = acc[0].data();
+#endif
+        const int32_t* m1 = maps1 + map1_off[a_idx[p]];
+        const int32_t* m2 = maps2 + map2_off[b_idx[p]];
+        const double w = wts[p];
+        const int64_t e0 = pair_start[p], e1 = e0 + pair_len[p];
+        for (int64_t e = e0; e < e1; ++e) {
+            A[(size_t)m1[coo_r[e]] * l2 + m2[coo_c[e]]] += w * coo_v[e];
+        }
+        if (cutoff_sub != 0.0f) {
+            const int64_t n1 =
+                map1_off[a_idx[p] + 1] - map1_off[a_idx[p]];
+            const int64_t n2 =
+                map2_off[b_idx[p] + 1] - map2_off[b_idx[p]];
+            const double sub = w * (double)cutoff_sub;
+            // ungapped rows x the first n2-1 mapped columns
+            // (the reference mapping's 0 sentinel swallows one entry)
+            for (int64_t r = 0; r < n1; ++r) {
+                double* row = A + (size_t)m1[r] * l2;
+                for (int64_t c = 0; c + 1 < n2; ++c) {
+                    row[m2[c]] -= sub;
+                }
+            }
+        }
+    }
+    for (int t = 0; t < nthreads; ++t) {
+        const double* A = acc[t].data();
+        for (size_t k = 0; k < plane; ++k) out[k] += (float)A[k];
+    }
+}
+
 }  // extern "C"
