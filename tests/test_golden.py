@@ -1,0 +1,41 @@
+"""Golden-output quality gates: full pipeline vs output4evaluation.
+
+Fast families from three suites, run through run_pipeline and scored
+with SP **and TC** against the authors' published MSAs — the committed
+tripwire for quality regressions (suite-level tracking lives in
+QUALITY_r*.json via tools/quality_campaign.py).
+"""
+from pathlib import Path
+
+import pytest
+
+REF = Path("/root/reference")
+
+pytestmark = pytest.mark.skipif(
+    not (REF / "output4evaluation").is_dir(),
+    reason="reference golden outputs unavailable",
+)
+
+CASES = [
+    ("bali3", "BB11001", 1.0, 1.0),
+    ("sabre", "sup_387", 0.99, 0.99),
+    ("sabre", "sup_296", 0.99, 0.99),
+    ("ox", "_491s6", 0.98, 0.95),
+]
+
+
+@pytest.mark.parametrize("suite,fam,min_sp,min_tc", CASES)
+def test_pipeline_vs_golden(suite, fam, min_sp, min_tc):
+    from mlprobs_tpu.bench.quality import sp_tc
+    from mlprobs_tpu.core.fasta import read_fasta
+    from mlprobs_tpu.core.msa import MSA
+    from mlprobs_tpu.pipeline.driver import run_pipeline
+
+    out, rep = run_pipeline(read_fasta(REF / "TEST" / suite / "in" / fam))
+    assert not rep.crash_fallback, rep.error
+    gold = MSA.from_records(
+        read_fasta(REF / "output4evaluation" / suite / fam)
+    )
+    sp, tc = sp_tc(out, gold)
+    assert sp >= min_sp, (fam, sp, tc)
+    assert tc >= min_tc, (fam, sp, tc)
