@@ -92,7 +92,9 @@ class SectorRelaxer:
     ):
         self.n = len(lengths)
         self.lengths = lengths
-        self.lp = _pow2ceil(max(128, max(lengths)))
+        # 128-lane bucket (not pow2): the MXU tiles any 128-multiple,
+        # and a 629 -> 1024 rounding would cost ~4x the GEMM flops
+        self.lp = -(-max(128, max(lengths)) // 128) * 128
         budget = int(budget or _CFG.engine.sector_budget_bytes)
         self.k = int(extract_topk or _CFG.engine.sector_extract_topk)
         # two dense panels of b*N*Lp^2 f32 + (b, b, Lp, Lp) output + the
