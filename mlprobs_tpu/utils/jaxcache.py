@@ -24,26 +24,36 @@ from pathlib import Path
 
 
 def _cpu_fingerprint() -> str:
-    """Model name + ISA flags: the inputs LLVM's host detection uses to
-    pick the target CPU (and with it the pseudo-feature tuning flags
-    XLA bakes into AOT executables)."""
-    model, flags = "", ""
+    """CPUID identity + ISA flags: the inputs LLVM's host detection
+    uses to pick the target CPU (and with it the pseudo-feature tuning
+    flags XLA bakes into AOT executables).
+
+    The marketing "model name" alone is NOT sufficient: virtualised
+    hosts report a generic string ("Intel(R) Xeon(R) Processor @
+    2.10GHz") across different microarchitectures, while LLVM's
+    getHostCPUName() keys on CPUID family/model/stepping — two VMs with
+    identical names and flags can still get different tuning
+    pseudo-features (+prefer-no-gather, ...).  Include the numeric
+    CPUID identity so the cache key tracks what LLVM actually sees."""
+    fields = {"model name": "", "cpu family": "", "model": "",
+              "stepping": "", "vendor_id": ""}
+    flags = ""
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if not model and line.startswith("model name"):
-                    model = line.split(":", 1)[1].strip()
-                elif not flags and line.startswith("flags"):
-                    flags = " ".join(sorted(line.split()[2:]))
-                if model and flags:
-                    break
+                key = line.split(":", 1)[0].strip()
+                if key in fields and not fields[key]:
+                    fields[key] = line.split(":", 1)[1].strip()
+                elif key == "flags" and not flags:
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
     except OSError:
         pass
-    if not (model or flags):
+    ident = "|".join(fields[k] for k in sorted(fields))
+    if not (ident.strip("|") or flags):
         import platform as _p
 
-        model = _p.processor() or _p.machine()
-    return model + "|" + flags
+        ident = _p.processor() or _p.machine()
+    return ident + "|" + flags
 
 
 def backend_tag(backend) -> str:

@@ -46,3 +46,23 @@ def test_live_backend_tag_is_stable():
 
     b = xla_bridge.get_backend()
     assert jaxcache.backend_tag(b) == jaxcache.backend_tag(b)
+
+
+def test_cpu_fingerprint_includes_cpuid_identity():
+    """Virtualised hosts report a generic marketing name across
+    different microarchitectures; LLVM keys its tuning pseudo-features
+    (+prefer-no-gather, ...) on CPUID family/model/stepping.  The
+    fingerprint must carry the numeric identity, not just the name."""
+    fp = jaxcache._cpu_fingerprint()
+    try:
+        fields = {}
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                k = line.split(":", 1)[0].strip()
+                if k in ("cpu family", "model", "stepping") \
+                        and k not in fields:
+                    fields[k] = line.split(":", 1)[1].strip()
+    except OSError:
+        return  # non-Linux host: nothing to assert
+    for k, v in fields.items():
+        assert v in fp.split("|"), f"{k}={v} missing from fingerprint"
