@@ -282,7 +282,7 @@ def align_family(
         else:
             root = treelib.upgma(dist, variance_id=1)
         weights_f = cons.saturate_weights(
-            treelib.clustalw_weights(root, n) / 100.0, rcfg.saturation
+            treelib.qp_weights(root, n), rcfg.saturation
         )
         c_reps = (rcfg.consistency_reps
                   if n <= rcfg.large_family_threshold
@@ -335,11 +335,15 @@ def align_family(
         if keep is not None:
             keep["posts"] = posts
         weights_c = cons.saturate_weights(
-            treelib.clustalw_weights(root, n) / 100.0,
-            rcfg.final_saturation,
+            treelib.qp_weights(root, n), rcfg.final_saturation
         )
+        # QuickProbs construction does NOT subtract the posterior cutoff:
+        # ConstructionStage::alignAlignments calls the parallel
+        # buildPosterior (ParallelProbabilisticModel.cpp:301-445), which
+        # plain-scatters w*v; the cutoff-subtracting base-class variants
+        # (ProbabilisticModel.cpp:778-934) are dead code in this fork.
         out = progressive.process_tree(
-            root, msa, posts, weights_c, cutoff_sub=rcfg.posterior_cutoff
+            root, msa, posts, weights_c, cutoff_sub=0.0
         )
         iters = (rcfg.refinement_reps
                  if n <= rcfg.refinement_threshold

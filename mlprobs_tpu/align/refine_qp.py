@@ -25,7 +25,13 @@ from mlprobs_tpu.core.msa import MSA, merge_alignments
 from mlprobs_tpu.utils import qprand
 from mlprobs_tpu.utils.crand import GlibcRand
 
-CUTOFF = 0.01
+# QuickProbs refinement realigns groups through the same parallel
+# buildPosterior as construction (RefinementBase::refine ->
+# ConstructionStage::alignAlignments ->
+# ParallelProbabilisticModel.cpp:301-445), which does NOT subtract the
+# posterior cutoff — the subtracting base-class variants are dead code
+# in this fork.
+CUTOFF = 0.0
 
 # AminoAcidProperties.cpp:19-40 (bit flags, 10 properties)
 _PROPS = {
@@ -117,6 +123,47 @@ def update_column_scores(
     return [(int(c), float(gaps[c])) for c in order if gaps[c] != 0.0]
 
 
+class ColumnScoreState:
+    """Stateful twin of ColumnRefinement::columnScores.
+
+    The reference NEVER clears the member vector between
+    updateColumnScores calls (ColumnRefinement.cpp:131-178): each call
+    resizes it — retaining the previously sorted-and-erased entries —
+    reassigns .first positionally, and ACCUMULATES the new gap counts
+    onto the stale (permuted) .second values, then stable-sorts by
+    |N/2 - second| descending and erases zero entries.  The surviving
+    accumulated values steer every det_uniform_int draw, so bit-faithful
+    statefulness is required for division-column parity."""
+
+    def __init__(self) -> None:
+        self.scores: list[list] = []  # [first, second] pairs
+
+    def update(self, alignment: MSA,
+               ignore_terminal_gaps: bool = True) -> list[list]:
+        rows = alignment.rows
+        n, length = rows.shape
+        cs = self.scores
+        if len(cs) > length:          # vector::resize shrink
+            del cs[length:]
+        else:                         # ...or grow with (0, 0)
+            cs.extend([c, 0.0] for c in range(len(cs), length))
+        isgap = rows < 0
+        inside = np.ones((n, length), dtype=bool)
+        if ignore_terminal_gaps:
+            res = ~isgap
+            first = res.argmax(axis=1)
+            last = length - 1 - res[:, ::-1].argmax(axis=1)
+            cols = np.arange(length)[None, :]
+            inside = (cols >= first[:, None]) & (cols <= last[:, None])
+        gaps = (isgap & inside).sum(axis=0).astype(np.float64)
+        for c in range(length):
+            cs[c][0] = c
+            cs[c][1] += float(gaps[c])
+        cs.sort(key=lambda e: -abs(n / 2.0 - e[1]))  # stable desc
+        self.scores = [e for e in cs if e[1] != 0.0]
+        return self.scores
+
+
 def _realign_groups(alignment, g1, g2, posts, weights, cutoff,
                     pool=None):
     p1 = alignment.project(g1)
@@ -156,9 +203,18 @@ def column_refinement(
     eng = qprand.Mt19937Stream()
     depth_cap = min(max_depth, int(math.log2(max(n_total, 1))))
     pool = PostPool(posts)
+    state = ColumnScoreState()
+
+    # RefinementBase::operator() -> initialise(): one updateColumnScores
+    # call on the starting alignment seeds the stateful score vector and
+    # gates the whole loop on hi > 0 (ColumnRefinement.cpp:63-79).
+    init_scores = state.update(alignment, ignore_terminal_gaps)
+    init_used = int(len(init_scores) * abs(column_fraction))
+    if min(max(init_used, config_iterations), len(init_scores)) <= 0:
+        return alignment
 
     def split(sub: MSA):
-        scores = update_column_scores(sub, ignore_terminal_gaps)
+        scores = state.update(sub, ignore_terminal_gaps)
         used = int(len(scores) * abs(column_fraction))
         if column_fraction > 0:
             lo = 0
