@@ -25,6 +25,7 @@ import numpy as np
 from mlprobs_tpu.core.config import DEFAULT as _CFG
 from mlprobs_tpu.models import params as mp
 from mlprobs_tpu.ops import mwt, pairhmm, partition, viterbi, wavefront
+from mlprobs_tpu.utils.stats import GLOBAL as STATS
 
 # engine constants come from the unified config (core/config.py)
 LEN_BUCKET = _CFG.engine.length_bucket
@@ -638,30 +639,48 @@ def iter_pair_batches(
     batch_fn=None,
 ) -> Iterator[tuple[list[tuple[int, int]], np.ndarray, np.ndarray,
                     np.ndarray, np.ndarray]]:
-    """Yield (pair_chunk, X, Y, LX, LY) padded device batches."""
+    """Yield (pair_chunk, X, Y, LX, LY) padded device batches.
+
+    Pairs are grouped by their OWN 128-lane length bucket — the
+    reference's per-task wave sizing (PosteriorTasksWave.cpp:14-71) —
+    so a family with one long outlier no longer pads every pair to the
+    outlier's bucket.  Batch shapes stay (B(lp), lp) with lp a bucket
+    multiple, shared across families: a padded batch wastes
+    milliseconds of VPU time, while every new shape costs a fresh
+    XLA/Mosaic compile (amortised only by the persistent cache).
+    KernelFactory's binary cache plays the same role in the reference
+    (KernelFactory.cpp:38-60).
+    """
     if not pairs:
         return
-    lp = _bucket_len(max(len(s) for s in seqs))
-    bs = batch_fn(lp) if batch_fn is not None else _batch_size(lp, len(pairs))
-    # One batch shape per length bucket, even for tiny families: a
-    # padded batch wastes milliseconds of VPU time, while every new
-    # (B, Lp) shape costs a fresh ~minute Pallas/XLA compile (amortised
-    # only by the persistent cache).  KernelFactory's binary cache plays
-    # the same role in the reference (KernelFactory.cpp:38-60).
-    padded = [_pad_to(s, lp) for s in seqs]
     lens = [len(s) for s in seqs]
-    for start in range(0, len(pairs), bs):
-        chunk = list(pairs[start : start + bs])
-        n = len(chunk)
-        X = np.stack([padded[i] for i, _ in chunk]
-                     + [padded[chunk[0][0]]] * (bs - n))
-        Y = np.stack([padded[j] for _, j in chunk]
-                     + [padded[chunk[0][1]]] * (bs - n))
-        LX = np.array([lens[i] for i, _ in chunk] + [1] * (bs - n),
-                      dtype=np.int32)
-        LY = np.array([lens[j] for _, j in chunk] + [1] * (bs - n),
-                      dtype=np.int32)
-        yield chunk, X, Y, LX, LY
+    buckets: dict[int, list[tuple[int, int]]] = {}
+    for i, j in pairs:
+        lp = _bucket_len(max(lens[i], lens[j]))
+        buckets.setdefault(lp, []).append((i, j))
+    for lp in sorted(buckets):
+        group = buckets[lp]
+        bs = (batch_fn(lp) if batch_fn is not None
+              else _batch_size(lp, len(group)))
+        padded: dict[int, np.ndarray] = {}
+
+        def pad(k: int) -> np.ndarray:
+            if k not in padded:
+                padded[k] = _pad_to(seqs[k][:lp], lp)
+            return padded[k]
+
+        for start in range(0, len(group), bs):
+            chunk = group[start : start + bs]
+            n = len(chunk)
+            X = np.stack([pad(i) for i, _ in chunk]
+                         + [pad(chunk[0][0])] * (bs - n))
+            Y = np.stack([pad(j) for _, j in chunk]
+                         + [pad(chunk[0][1])] * (bs - n))
+            LX = np.array([lens[i] for i, _ in chunk] + [1] * (bs - n),
+                          dtype=np.int32)
+            LY = np.array([lens[j] for _, j in chunk] + [1] * (bs - n),
+                          dtype=np.int32)
+            yield chunk, X, Y, LX, LY
 
 
 def topk_to_csr(vals: np.ndarray, idx: np.ndarray, li: int, lj: int):
@@ -716,9 +735,68 @@ def all_pairs_posteriors(
                 yield (i, j), csr, float(score[k])
 
 
+def _long_pair_budget_ok(li: int, lj: int) -> bool:
+    """A pair fits the device wavefront path iff a B=1 batch of its
+    bucket keeps the DP planes inside the HBM budget."""
+    lp = _bucket_len(max(li, lj))
+    return 80 * lp * lp <= _WF_PLANE_BUDGET
+
+
+def _host_long_pairs(seqs, long_pairs, mode, leave_prob, with_matches):
+    """Very-long pairs on the host CPU backend, row-scan engine.
+
+    The reference runs pairs whose DP layers exceed the device budget
+    on a concurrent CPU thread (QuickPosteriorStage.cpp:141-154,
+    PosteriorTasksWave.cpp:44-53 'very long' class); this is the same
+    class, computed with the log-space row scans on the CPU PJRT
+    backend while the chip processes the normal waves.
+    """
+    import jax as _jax
+
+    cpu = _jax.local_devices(backend="cpu")[0]
+    p5, pl = hmm5_dict(), local_dict(leave_prob)
+    pp = partition_qp_dict() if mode == "qp" else partition_dict()
+    fn = _posterior_fn(mode, with_matches)
+    results = []
+    with _jax.default_device(cpu):
+        for chunk, X, Y, LX, LY in iter_pair_batches(
+            seqs, long_pairs, batch_fn=lambda lp: 1
+        ):
+            out = fn(
+                jnp.asarray(X), jnp.asarray(Y), jnp.asarray(LX),
+                jnp.asarray(LY), p5, pl, pp
+            )
+            out = [np.asarray(o) for o in out]
+            vals, idx, score = out[:3]
+            for k, (i, j) in enumerate(chunk):
+                li, lj = len(seqs[i]), len(seqs[j])
+                csr = topk_to_csr(vals[k], idx[k], li, lj)
+                if with_matches:
+                    results.append(((i, j), csr, float(score[k]),
+                                    int(out[3][k])))
+                else:
+                    results.append(((i, j), csr, float(score[k])))
+    return results
+
+
 def _all_pairs_posteriors_wf(seqs, mode, leave_prob, pairs, with_matches):
     tabs_f, tabs_r = _wf_tables(mode, leave_prob)
     fn = _wf_fn(_MODE_MODELS[mode], with_matches)
+    long_pairs = [
+        (i, j) for i, j in pairs
+        if not _long_pair_budget_ok(len(seqs[i]), len(seqs[j]))
+    ]
+    future = None
+    if long_pairs:
+        from concurrent.futures import ThreadPoolExecutor
+
+        STATS.add("posterior_long_pairs", len(long_pairs))
+        pairs = [p for p in pairs if p not in set(long_pairs)]
+        pool = ThreadPoolExecutor(1)
+        future = pool.submit(
+            _host_long_pairs, seqs, long_pairs, mode, leave_prob,
+            with_matches,
+        )
     for chunk, X, Y, LX, LY in iter_pair_batches(
         seqs, pairs, batch_fn=_wf_batch_size
     ):
@@ -735,6 +813,9 @@ def _all_pairs_posteriors_wf(seqs, mode, leave_prob, pairs, with_matches):
                 yield (i, j), csr, float(score[k]), int(out[3][k])
             else:
                 yield (i, j), csr, float(score[k])
+    if future is not None:
+        yield from future.result()
+        pool.shutdown()
 
 
 def _unskew_dirs_batch(dirs_skew: np.ndarray) -> np.ndarray:

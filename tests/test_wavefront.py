@@ -280,3 +280,59 @@ def test_viterbi_path_stats_matches_host():
         scores = np.where(scores < 10, scores, 0.0)
         got = srev[: len(path), k][::-1]
         np.testing.assert_allclose(got, scores, atol=1e-6)
+
+
+def test_long_pair_class_routes_to_host(monkeypatch):
+    """Pairs whose B=1 DP planes exceed the HBM budget take the
+    concurrent host row-scan class (QuickPosteriorStage.cpp:141-154
+    'very long' role) and still return correct posteriors."""
+    import mlprobs_tpu.align.pairwise as pw
+
+    rng = np.random.default_rng(3)
+    seqs = [np.asarray(rng.integers(0, 20, n), np.int8)
+            for n in (40, 300, 35)]
+    monkeypatch.setattr(pw, "_engine", lambda: "wavefront")
+
+    def run():
+        return {
+            (i, j): (csr.toarray(), score)
+            for (i, j), csr, score in pw.all_pairs_posteriors(
+                seqs, mode="mix", leave_prob=0.3
+            )
+        }
+
+    full = run()
+    # budget that only fits the 128-lane bucket: the (0,1)/(1,2) pairs
+    # (bucket 384) must fall to the host class
+    monkeypatch.setattr(pw, "_WF_PLANE_BUDGET", 80 * 128 * 128)
+    assert not pw._long_pair_budget_ok(40, 300)
+    assert pw._long_pair_budget_ok(40, 35)
+    mixed = run()
+    assert mixed.keys() == full.keys()
+    from mlprobs_tpu.utils.stats import GLOBAL as STATS
+    assert STATS.timers.get("posterior_long_pairs", 0) >= 2
+    for k in full:
+        aw, sw = full[k]
+        am, sm = mixed[k]
+        np.testing.assert_allclose(sm, sw, rtol=5e-4, atol=1e-4)
+        both = (aw > 0) & (am > 0)
+        np.testing.assert_allclose(aw[both], am[both], rtol=2e-3,
+                                   atol=2e-5)
+
+
+def test_pair_batches_use_per_pair_buckets():
+    """A family with one long outlier batches its short pairs in the
+    short bucket (PosteriorTasksWave per-task sizing), not the family
+    max bucket."""
+    import mlprobs_tpu.align.pairwise as pw
+
+    rng = np.random.default_rng(5)
+    seqs = [np.asarray(rng.integers(0, 20, n), np.int8)
+            for n in (50, 60, 500)]
+    pairs = [(0, 1), (0, 2), (1, 2)]
+    widths = {}
+    for chunk, X, _, _, _ in pw.iter_pair_batches(seqs, pairs):
+        for p in chunk:
+            widths[p] = X.shape[1]
+    assert widths[(0, 1)] == 128
+    assert widths[(0, 2)] == 512 and widths[(1, 2)] == 512
