@@ -304,11 +304,13 @@ def align_family(
         over_budget = str(
             report.get("consistency_downgrade", "")
         ).startswith("over_budget")
+        fcut = rcfg.consistency_final_cutoff
         if tensor is not None and accept_all:
             posts = tensor.relax_and_extract(
                 weights=weights_f, reps=c_reps,
                 selfweight=rcfg.selfweight,
                 selectivity=rcfg.selectivity,
+                final_cutoff=fcut,
             )
         elif accept_all and over_budget:
             # over the whole-tensor HBM gate: sector-tiled device
@@ -319,6 +321,7 @@ def align_family(
                 posts, lengths, reps=c_reps, weights=weights_f,
                 selfweight=rcfg.selfweight,
                 selectivity=rcfg.selectivity,
+                final_cutoff=fcut,
             )
             report["consistency_engine"] = "sector"
         else:
@@ -331,6 +334,7 @@ def align_family(
                 selfweight=rcfg.selfweight,
                 selectivity=rcfg.selectivity,
                 distances=None if accept_all else cd,
+                final_cutoff=fcut,
             )
         if keep is not None:
             keep["posts"] = posts

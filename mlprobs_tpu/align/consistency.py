@@ -230,6 +230,7 @@ def relax_sparse_weighted(
     cutoff: float = CUTOFF,
     distances: np.ndarray | None = None,
     seeds: np.ndarray | None = None,
+    final_cutoff: float | None = None,
 ) -> dict[tuple[int, int], sp.csr_matrix]:
     """QuickProbs-style weighted relaxation (ConsistencyStage.cpp:133-259).
 
@@ -241,6 +242,20 @@ def relax_sparse_weighted(
     below its threshold — the realign-block regime), enabling the fast
     single-block-product path.
     """
+    if final_cutoff is not None and final_cutoff != cutoff and reps > 0:
+        # numFilterings=-1: the last iteration re-sparsifies at 1e-5
+        # (ConsistencyStage.cpp:230-259); run it as its own round
+        if reps > 1:
+            posts = relax_sparse_weighted(
+                posts, lengths, weights, reps=reps - 1,
+                selfweight=selfweight, selectivity=selectivity,
+                cutoff=cutoff, distances=distances, seeds=seeds,
+            )
+        return relax_sparse_weighted(
+            posts, lengths, weights, reps=1, selfweight=selfweight,
+            selectivity=selectivity, cutoff=final_cutoff,
+            distances=distances, seeds=seeds,
+        )
     out = relax_native(
         posts, lengths, reps=reps, cutoff=cutoff, weights=weights,
         selfweight=selfweight, selectivity=selectivity,
@@ -344,23 +359,33 @@ def dense_relax_coeffs(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("reps",))
+@functools.partial(
+    jax.jit, static_argnames=("reps", "cutoff", "final_cutoff")
+)
 def relax_dense_rounds(S, self_coef, z_scale, w, reps: int = 2,
-                       cutoff: float = CUTOFF):
+                       cutoff: float = CUTOFF,
+                       final_cutoff: float | None = None):
     """`reps` relaxation rounds on a zero-diagonal (N, N, Lp, Lp) tensor.
 
     The z-contraction is one weighted batched matmul on the MXU; the
     support mask and threshold follow each round (the reference masks to
     the round's input sparsity pattern, MSA.cpp:1237-1261).
+    `final_cutoff` is the LAST round's re-threshold: QuickProbs'
+    numFilterings=-1 default disables filtering on the final iteration
+    and re-sparsifies at 1e-5 instead of the posterior cutoff
+    (ConsistencyStage.cpp:230-259) — nearly half the reference's final
+    entries live below 0.01, so dropping them diverges construction.
     """
-    for _ in range(reps):
+    for it in range(reps):
+        c = cutoff if (final_cutoff is None or it < reps - 1) \
+            else final_cutoff
         prod = jnp.einsum(
             "izab,z,zjbc->ijac", S, w, S,
             preferred_element_type=jnp.float32,
         )
         r = (self_coef[:, :, None, None] * S
              + z_scale[:, :, None, None] * prod)
-        S = jnp.where((S >= cutoff) & (r >= cutoff), r, 0.0)
+        S = jnp.where((S > 0) & (r >= c), r, 0.0)
     return S
 
 

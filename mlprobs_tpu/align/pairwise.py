@@ -439,6 +439,103 @@ def _wf_dense_fn(models: tuple[str, ...]):
     return run_sharded
 
 
+def _qp_exact() -> bool:
+    """QuickProbs-exact posterior arithmetic for the realigner role.
+
+    The binary computes its 5-state HMM in f32 log space with
+    polynomial approximations of log1p-exp and exp (ScoreType.h), and
+    keeps only partition posteriors in [0.001, 1]
+    (PartitionFunction.cpp:264-270).  ops/qpx.py replays that
+    arithmetic; with it the per-cell posterior gap vs the binary drops
+    from ~2e-3 to ~6e-5, which is what keeps the downstream MWT /
+    construction tie-breaks aligned.  Default on; MLPROBS_QP_EXACT=0
+    reverts mode "qp" to the scaled-probability engines.
+    """
+    return os.environ.get("MLPROBS_QP_EXACT", "1") != "0"
+
+
+def _qpx_combined_skew(X, Y, LX, LY, tabs_f, tabs_r):
+    """(D, B, W) RMS-combined qp posterior with reference numerics."""
+    from mlprobs_tpu.ops import qpx
+
+    b, lp = X.shape
+    zero = jnp.zeros((b,), jnp.int32)
+    p5 = mp.hmm5_params()
+    ph = qpx.hmm5_posterior_qpx(
+        X, Y, LX, LY, jnp.asarray(p5.init), jnp.asarray(p5.trans),
+        jnp.asarray(p5.lmatch), jnp.asarray(p5.lins),
+    )
+    fwd = wavefront.wavefront_forward(
+        X, Y, zero, zero, LX, LY, tabs_f,
+        models=("partition",), emit_pre=False,
+    )
+    rev = wavefront.wavefront_forward(
+        X[:, ::-1], Y[:, ::-1], lp - LX, lp - LY, LX, LY, tabs_r,
+        models=("partition",), emit_pre=True,
+    )
+    pp = wavefront.posterior_skew(fwd, rev, "partition")
+    # the reference drops partition posteriors outside [0.001, 1]
+    # before the RMS combine (PartitionFunction.cpp:264-270)
+    pp = jnp.where(
+        (pp >= jnp.float32(0.001)) & (pp <= 1.0), pp, 0.0
+    )
+    return jnp.sqrt((ph * ph + pp * pp) * jnp.float32(0.5))
+
+
+@functools.lru_cache(maxsize=4)
+def _qp_exact_fn(with_matches: bool):
+    """qp-exact twin of _wf_fn: same (vals, lanes, score[, nb])
+    contract, posterior numerics matching the QuickProbs binary."""
+    mesh = _mesh()
+    out_axes = (1, 1, 0, 0) if with_matches else (1, 1, 0)
+
+    def run(X, Y, LX, LY, tabs_f, tabs_r):
+        post = _qpx_combined_skew(X, Y, LX, LY, tabs_f, tabs_r)
+        vals, lanes = wavefront.topk_skew(post, TOPK, CUTOFF)
+        if with_matches:
+            score, nb = wavefront.mwt_skew(
+                post, LX, LY, with_matches=True
+            )
+            return vals, lanes, score, nb
+        score = wavefront.mwt_skew(post, LX, LY, with_matches=False)
+        return vals, lanes, score
+
+    if mesh is None:
+        return jax.jit(run)
+
+    def run_sharded(X, Y, LX, LY, tabs_f, tabs_r):
+        def body(x, y, lx, ly):
+            return run(x, y, lx, ly, tabs_f, tabs_r)
+
+        return _shard_pairs(body, mesh, out_axes)(X, Y, LX, LY)
+
+    return run_sharded
+
+
+@functools.lru_cache(maxsize=4)
+def _qp_exact_dense_fn():
+    """qp-exact twin of _wf_dense_fn: (dense grid plane, score)."""
+    mesh = _mesh()
+
+    def run(X, Y, LX, LY, tabs_f, tabs_r):
+        post = _qpx_combined_skew(X, Y, LX, LY, tabs_f, tabs_r)
+        score = wavefront.mwt_skew(post, LX, LY, with_matches=False)
+        dense = wavefront.unskew_posterior(post)
+        dense = jnp.where(dense >= CUTOFF, dense, 0.0)
+        return dense, score
+
+    if mesh is None:
+        return jax.jit(run)
+
+    def run_sharded(X, Y, LX, LY, tabs_f, tabs_r):
+        def body(x, y, lx, ly):
+            return run(x, y, lx, ly, tabs_f, tabs_r)
+
+        return _shard_pairs(body, mesh, (0, 0))(X, Y, LX, LY)
+
+    return run_sharded
+
+
 # Dense on-device consistency: entries kept per posterior row when the
 # relaxed tensor is pulled back to host CSR.  Posterior rows sum to <= 1,
 # so at most 100 entries can clear the 0.01 cutoff; 64 is lossless in
@@ -507,6 +604,7 @@ class DevicePosteriorTensor:
         selfweight: float = 3.0,
         selectivity: float = 200.0,
         reps: int = 2,
+        final_cutoff: float | None = None,
     ) -> dict:
         """Run `reps` relaxation rounds on device, return host CSRs."""
         from mlprobs_tpu.align import consistency as cons
@@ -517,16 +615,18 @@ class DevicePosteriorTensor:
         )
         mesh = _mesh()
         if mesh is not None:
-            S = _relax_sharded(self.S, sc_, zs_, w_, reps, mesh)
+            S = _relax_sharded(self.S, sc_, zs_, w_, reps, mesh,
+                               final_cutoff=final_cutoff)
         else:
             S = cons.relax_dense_rounds(
                 self.S, jnp.asarray(sc_), jnp.asarray(zs_),
-                jnp.asarray(w_), reps=reps,
+                jnp.asarray(w_), reps=reps, final_cutoff=final_cutoff,
             )
         return self._extract(S)
 
 
-def _relax_sharded(S, sc, zs, w, reps: int, mesh):
+def _relax_sharded(S, sc, zs, w, reps: int, mesh,
+                   final_cutoff: float | None = None):
     """Dense relaxation rounds with the row axis sharded over the mesh
     (all-gather of z-rows over ICI; parallel/sharded.py).  N is padded
     to a mesh multiple with zero rows, which contribute nothing."""
@@ -576,11 +676,14 @@ def device_posterior_tensor(
 
     pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
     tabs_f, tabs_r = _wf_tables(mode, leave_prob)
-    fn = _wf_dense_fn(_MODE_MODELS[mode])
+    if mode == "qp" and _qp_exact():
+        fn = _qp_exact_dense_fn()
+    else:
+        fn = _wf_dense_fn(_MODE_MODELS[mode])
     plane_chunks = []
     dist = np.zeros((n, n))
     for chunk, X, Y, LX, LY in iter_pair_batches(
-        seqs, pairs, batch_fn=_wf_batch_size
+        seqs, pairs, batch_fn=_wf_batch_size, force_lp=lp
     ):
         dense, score = fn(
             jnp.asarray(X), jnp.asarray(Y), jnp.asarray(LX),
@@ -636,7 +739,7 @@ def _pad_to(seq: np.ndarray, lp: int) -> np.ndarray:
 
 def iter_pair_batches(
     seqs: Sequence[np.ndarray], pairs: Sequence[tuple[int, int]],
-    batch_fn=None,
+    batch_fn=None, force_lp: int | None = None,
 ) -> Iterator[tuple[list[tuple[int, int]], np.ndarray, np.ndarray,
                     np.ndarray, np.ndarray]]:
     """Yield (pair_chunk, X, Y, LX, LY) padded device batches.
@@ -656,7 +759,11 @@ def iter_pair_batches(
     lens = [len(s) for s in seqs]
     buckets: dict[int, list[tuple[int, int]]] = {}
     for i, j in pairs:
-        lp = _bucket_len(max(lens[i], lens[j]))
+        # force_lp pins every pair to one bucket — consumers that build
+        # a uniform dense tensor (device_posterior_tensor) need equal
+        # plane shapes across batches
+        lp = (force_lp if force_lp is not None
+              else _bucket_len(max(lens[i], lens[j])))
         buckets.setdefault(lp, []).append((i, j))
     for lp in sorted(buckets):
         group = buckets[lp]
@@ -754,11 +861,30 @@ def _host_long_pairs(seqs, long_pairs, mode, leave_prob, with_matches):
     import jax as _jax
 
     cpu = _jax.local_devices(backend="cpu")[0]
-    p5, pl = hmm5_dict(), local_dict(leave_prob)
-    pp = partition_qp_dict() if mode == "qp" else partition_dict()
-    fn = _posterior_fn(mode, with_matches)
     results = []
     with _jax.default_device(cpu):
+        if mode == "qp" and _qp_exact():
+            tabs_f, tabs_r = _wf_tables(mode, leave_prob)
+            fn = _qp_exact_fn(with_matches)
+            for chunk, X, Y, LX, LY in iter_pair_batches(
+                seqs, long_pairs, batch_fn=lambda lp: 1
+            ):
+                out = [np.asarray(o) for o in fn(
+                    jnp.asarray(X), jnp.asarray(Y), jnp.asarray(LX),
+                    jnp.asarray(LY), tabs_f, tabs_r,
+                )]
+                vals, lanes, score = out[:3]
+                for k, (i, j) in enumerate(chunk):
+                    li, lj = len(seqs[i]), len(seqs[j])
+                    csr = topk_diag_to_csr(vals[:, k], lanes[:, k],
+                                           li, lj)
+                    rest = ((int(out[3][k]),) if with_matches else ())
+                    results.append(((i, j), csr, float(score[k]))
+                                   + rest)
+            return results
+        p5, pl = hmm5_dict(), local_dict(leave_prob)
+        pp = partition_qp_dict() if mode == "qp" else partition_dict()
+        fn = _posterior_fn(mode, with_matches)
         for chunk, X, Y, LX, LY in iter_pair_batches(
             seqs, long_pairs, batch_fn=lambda lp: 1
         ):
@@ -781,7 +907,10 @@ def _host_long_pairs(seqs, long_pairs, mode, leave_prob, with_matches):
 
 def _all_pairs_posteriors_wf(seqs, mode, leave_prob, pairs, with_matches):
     tabs_f, tabs_r = _wf_tables(mode, leave_prob)
-    fn = _wf_fn(_MODE_MODELS[mode], with_matches)
+    if mode == "qp" and _qp_exact():
+        fn = _qp_exact_fn(with_matches)
+    else:
+        fn = _wf_fn(_MODE_MODELS[mode], with_matches)
     long_pairs = [
         (i, j) for i, j in pairs
         if not _long_pair_budget_ok(len(seqs[i]), len(seqs[j]))

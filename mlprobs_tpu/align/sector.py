@@ -74,7 +74,7 @@ def _sector_fn(b: int, n: int, lp: int, k: int):
             preferred_element_type=jnp.float32,
         )
         r = sc[:, :, None, None] * s_ij + zs[:, :, None, None] * prod
-        r = jnp.where((s_ij >= cutoff) & (r >= cutoff), r, 0.0)
+        r = jnp.where((s_ij > 0) & (r >= cutoff), r, 0.0)
         vals, idx = jax.lax.top_k(r, k)
         return vals, idx.astype(jnp.int32)
 
@@ -156,6 +156,7 @@ class SectorRelaxer:
         w: np.ndarray,
         reps: int = 2,
         cutoff: float = CUTOFF,
+        final_cutoff: float | None = None,
     ) -> dict[tuple[int, int], sp.csr_matrix]:
         n, b, lp, k = self.n, self.b, self.lp, self.k
         sc = np.asarray(self_coef, np.float32)
@@ -163,7 +164,12 @@ class SectorRelaxer:
         w = np.asarray(w, np.float32)
         uniform_w = bool(np.all(w == w[0]))
         fn = _sector_fn(b, n, lp, k)
-        for _ in range(reps):
+        for it in range(reps):
+            # numFilterings=-1: last round re-sparsifies at 1e-5
+            # (ConsistencyStage.cpp:230-259)
+            round_cutoff = (cutoff if (final_cutoff is None
+                                       or it < reps - 1)
+                            else final_cutoff)
             new: dict[tuple[int, int], sp.csr_matrix] = {}
             for bi in range(self.nblocks):
                 panel_i = self._densify(posts, bi, None)
@@ -187,7 +193,8 @@ class SectorRelaxer:
                     zsb = _block(zs, i0, j0, b)
                     vals, idx = fn(
                         panel_i, panel_j_w, s_ij,
-                        jnp.asarray(scb), jnp.asarray(zsb), cutoff,
+                        jnp.asarray(scb), jnp.asarray(zsb),
+                        round_cutoff,
                     )
                     vals = np.asarray(vals)
                     idx = np.asarray(idx)
@@ -233,6 +240,7 @@ def relax_sector_device(
     weights: np.ndarray | None = None,
     selfweight: float = 3.0,
     selectivity: float = 200.0,
+    final_cutoff: float | None = None,
 ) -> dict[tuple[int, int], sp.csr_matrix]:
     """Sector-tiled device relaxation with the standard coefficient
     parametrisation (see align/consistency.dense_relax_coeffs).
@@ -251,4 +259,5 @@ def relax_sector_device(
         # zero so z = i, j drop out; the panel diagonal is zero too.
         pass
     rl = SectorRelaxer(lengths)
-    return rl.relax(posts, sc, zs, w, reps=reps, cutoff=cutoff)
+    return rl.relax(posts, sc, zs, w, reps=reps, cutoff=cutoff,
+                    final_cutoff=final_cutoff)

@@ -37,6 +37,11 @@ class RealignerConfig:
 
     consistency_reps: int = 2          # small families (threshold 50)
     consistency_reps_large: int = 1
+    # numFilterings=-1 default: the LAST relaxation iteration skips the
+    # posterior-cutoff filter and re-sparsifies at 1e-5 instead
+    # (ConsistencyStage.cpp:230-259) — about half the reference's final
+    # posterior entries sit below 0.01
+    consistency_final_cutoff: float = 1e-5
     large_family_threshold: int = 50
     refinement_reps: int = 30          # small (RefinementBase.cpp:32-35)
     refinement_reps_large: int = 200

@@ -668,6 +668,10 @@ def _sweep_jit(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            # CH=16 double-buffered plane blocks need ~17-29 MiB of
+            # scoped VMEM; the 16 MiB default rejects the kernel on the
+            # AOT compile path (v5e VMEM is 128 MiB)
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(xfeed, meta, iy0, iy1, *colts)
@@ -957,6 +961,10 @@ def combine(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            # CH=16 double-buffered plane blocks need ~17-29 MiB of
+            # scoped VMEM; the 16 MiB default rejects the kernel on the
+            # AOT compile path (v5e VMEM is 128 MiB)
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(meta, *l2ts, *[fwd_planes[m] for m in models],
