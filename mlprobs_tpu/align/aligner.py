@@ -181,6 +181,17 @@ def posterior_stage(
     return posts, dist
 
 
+
+def _partition_dp_seqs(seqs: list[np.ndarray]) -> list[np.ndarray]:
+    """Unknown residues for the baseMSA partition model map to matrix
+    index 0 ('A'): read_matrix only initialises subst_index[0..19] to
+    -1, so letters past 'T'-'A' (X, Z, U) fall through to the
+    zero-initialised entry (MSAReadMatrix.cpp:91-96,
+    MSAPartProbs.cpp:236-238).  Substituting at the class level keeps
+    the zero-emission PAD class intact for batch padding."""
+    return [np.where(s == 20, 0, s).astype(s.dtype) for s in seqs]
+
+
 def align_family(
     records: list[tuple[str, str]],
     config: str = "pnp",
@@ -236,10 +247,12 @@ def align_family(
         from mlprobs_tpu.align.refine_np import np_refinement
 
         np_mode = {0: "mix", 1: "mix", 2: "local"}.get(pid, "partition")
+        dp_seqs = (_partition_dp_seqs(seqs) if np_mode == "partition"
+                   else seqs)
         posts = {}
         dist = np.zeros((n, n))
         for (i, j), csr, score, nb in pairwise.all_pairs_posteriors(
-            seqs, mode=np_mode, leave_prob=leave, with_matches=True
+            dp_seqs, mode=np_mode, leave_prob=leave, with_matches=True
         ):
             posts[(i, j)] = csr
             s = score / nb if nb else 0.0
@@ -380,10 +393,11 @@ def align_family(
         STATS.log_device_memory("quickprobs")
         return out
 
+    dp_seqs = _partition_dp_seqs(seqs) if mode == "partition" else seqs
     tensor = None
     if _CONS_ENGINE == "device":
         tensor = pairwise.device_posterior_tensor(
-            seqs, mode, leave, report=report
+            dp_seqs, mode, leave, report=report
         )
     report["consistency_engine"] = (
         "device" if tensor is not None else "host"
@@ -392,7 +406,7 @@ def align_family(
         dist = tensor.dist
         posts = tensor.relax_and_extract(reps=2)
     else:
-        posts, dist = posterior_stage(seqs, mode, leave)
+        posts, dist = posterior_stage(dp_seqs, mode, leave)
         if _CONS_ENGINE == "device" and str(
             report.get("consistency_downgrade", "")
         ).startswith("over_budget"):

@@ -148,4 +148,14 @@ def clustalw_weights(root: TreeNode, num_seqs: int) -> np.ndarray:
     else:
         walk(root.left, [])
         walk(root.right, [])
+    # integer renormalization (MSAGuideTree.cpp:303-319): all-zero ->
+    # uniform 1s; then w = (w * INT_MULTIPLY) // wsum clamped to >= 1.
+    # Without this, tight trees truncate most weights to 0 and the
+    # profile weighting degenerates (w1*w2/totalWeights becomes 0/0).
+    wsum = int(weights.sum())
+    if wsum == 0:
+        weights[:] = 1
+        wsum = num_seqs
+    weights = (weights * 1000) // wsum
+    weights[weights < 1] = 1
     return weights

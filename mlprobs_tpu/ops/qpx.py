@@ -384,6 +384,169 @@ def hmm5_fb_qpx(xp, yp, lx, ly, init, trans, lmatch, lins):
     return fwd_m, bwd_m, total
 
 
+@jax.jit
+def local_posterior_qpx(xp, yp, lx, ly, ltrans, log_stay, lmatch, lins):
+    """baseMSA 3-state local-HMM posterior, reference arithmetic.
+
+    The local model runs in ODDS space: every term carries
+    -insProb(x)-insProb(y) and -2*random_transProb[1] factors
+    (ProbabilisticModel.h:213-258 flag=false branches); flanking random
+    states let the alignment start/end anywhere, so the total
+    accumulates over ALL (i>0, j>0) cells (ibid:420-434).  The totals
+    are the one deviation from op-order fidelity: the reference chains
+    LOG_PLUS_EQUALS row-major over the whole plane; we use an exact
+    stable log-sum-exp instead (the LOOKUP fit error on the comparable-
+    magnitude terms bounds the difference at ~1e-4 in log space).
+
+    ltrans: (3, 3) log local transitions; log_stay = log(1 - leave)
+    (= random_transProb[1]); lmatch (21, 21); lins (21,).
+    Returns (D, B, W) posterior.
+    """
+    b, lp = xp.shape
+    W = lp + 1
+    D = 2 * lp + 1
+    lane = jnp.arange(W, dtype=jnp.int32)[None, :]
+    lxv = lx.astype(jnp.int32)[:, None]
+    lyv = ly.astype(jnp.int32)[:, None]
+    Z = jnp.full((b, W), LOG_ZERO, jnp.float32)
+    rt1 = log_stay.astype(jnp.float32)
+    t = ltrans
+
+    # em'[d, b, j] = lmatch[x_i, y_j] - lins[x_i] - lins[y_j] - 2*rt1
+    xg = jnp.concatenate(
+        [jnp.full((b, 1), PAD, xp.dtype), xp], axis=1
+    ).astype(jnp.int32)
+    yg = jnp.concatenate(
+        [jnp.full((b, 1), PAD, yp.dtype), yp], axis=1
+    ).astype(jnp.int32)
+    d_idx = jnp.arange(D, dtype=jnp.int32)[:, None]
+    j_idx = jnp.arange(W, dtype=jnp.int32)[None, :]
+    i_idx = jnp.clip(d_idx - j_idx, 0, lp)
+    xsk = xg[:, i_idx]                                   # (B, D, W)
+    em = (lmatch[xsk, yg[:, None, :]] - lins[xsk]
+          - lins[yg][:, None, :] - 2.0 * rt1)
+    em = jnp.moveaxis(em, 0, 1)                          # (D, B, W)
+
+    def fstep(carry, inp):
+        d, emr = inp
+        p1, p2 = carry
+        i = d - lane
+        # match: acc = em'; then LPE over the three d-2 states
+        acc = emr
+        for k in range(3):
+            prev = _shift1(p2[k])
+            acc = log_add(acc, jnp.where(
+                prev == LOG_ZERO, LOG_ZERO, emr + prev + t[k, 0]
+            ))
+        m_new = jnp.where((i >= 1) & (lane >= 1), acc, LOG_ZERO)
+        # X: (i-1, j) at d-1 same lane
+        x_new = log_add(
+            jnp.where(p1[0] == LOG_ZERO, LOG_ZERO,
+                      p1[0] + t[0, 1] - rt1),
+            jnp.where(p1[1] == LOG_ZERO, LOG_ZERO,
+                      p1[1] + t[1, 1] - rt1),
+        )
+        x_new = jnp.where(i >= 1, x_new, LOG_ZERO)
+        # Y: (i, j-1) at d-1 lane j-1
+        y_new = log_add(
+            jnp.where(_shift1(p1[0]) == LOG_ZERO, LOG_ZERO,
+                      _shift1(p1[0]) + t[0, 2] - rt1),
+            jnp.where(_shift1(p1[2]) == LOG_ZERO, LOG_ZERO,
+                      _shift1(p1[2]) + t[2, 2] - rt1),
+        )
+        y_new = jnp.where((lane >= 1) & (i >= 0), y_new, LOG_ZERO)
+        new = (m_new, x_new, y_new)
+        return (new, p1), m_new
+
+    zst = (Z, Z, Z)
+    (_, _), fwd_m = jax.lax.scan(
+        fstep, (zst, zst),
+        (jnp.arange(D, dtype=jnp.int32), em),
+    )
+
+    # backward: em' of the NEXT cell (i+1, j+1) = em[d+2] shifted -1
+    pad2 = jnp.full((2, b, W), LOG_ZERO, jnp.float32)
+    em_next = jnp.concatenate([_shiftm1(em)[2:], pad2], axis=0)
+
+    def bstep(carry, inp):
+        d, em_n = inp
+        n1, n2 = carry
+        i = d - lane
+        mask_i = i < lxv
+        mask_j = lane < lyv
+        valid = (i >= 0) & (i <= lxv) & (lane <= lyv)
+        pxy = jnp.where(
+            _shiftm1(n2[0]) == LOG_ZERO, LOG_ZERO,
+            _shiftm1(n2[0]) + em_n,
+        )
+        mm = mask_i & mask_j
+
+        def guard(mask, v):
+            return jnp.where(mask, v, LOG_ZERO)
+
+        # b0 starts at LOG_ONE everywhere (the alignment may end at any
+        # cell, ProbabilisticModel.h:339); order M, X, Y
+        b0 = jnp.zeros_like(Z)
+        b0 = log_add(b0, guard(mm, jnp.where(
+            pxy == LOG_ZERO, LOG_ZERO, pxy + t[0, 0])))
+        b0 = log_add(b0, guard(mask_i, jnp.where(
+            n1[1] == LOG_ZERO, LOG_ZERO,
+            n1[1] + t[0, 1] - rt1)))
+        b0 = log_add(b0, guard(mask_j, jnp.where(
+            _shiftm1(n1[2]) == LOG_ZERO, LOG_ZERO,
+            _shiftm1(n1[2]) + t[0, 2] - rt1)))
+        bx = log_add(
+            guard(mm, jnp.where(pxy == LOG_ZERO, LOG_ZERO,
+                                pxy + t[1, 0])),
+            guard(mask_i, jnp.where(
+                n1[1] == LOG_ZERO, LOG_ZERO,
+                n1[1] + t[1, 1] - rt1)),
+        )
+        by = log_add(
+            guard(mm, jnp.where(pxy == LOG_ZERO, LOG_ZERO,
+                                pxy + t[2, 0])),
+            guard(mask_j, jnp.where(
+                _shiftm1(n1[2]) == LOG_ZERO, LOG_ZERO,
+                _shiftm1(n1[2]) + t[2, 2] - rt1)),
+        )
+        b0 = jnp.where(valid, b0, LOG_ZERO)
+        new = (b0, jnp.where(valid, bx, LOG_ZERO),
+               jnp.where(valid, by, LOG_ZERO))
+        return (new, n1), b0
+
+    ds = jnp.arange(D - 1, -1, -1, dtype=jnp.int32)
+    (_, _), brows = jax.lax.scan(
+        bstep, ((Z, Z, Z), (Z, Z, Z)),
+        (ds, em_next[ds]),
+    )
+    bwd_m = brows[::-1]
+
+    # totals over all interior cells (exact stable LSE; see docstring)
+    d3 = jnp.arange(D, dtype=jnp.int32)[:, None, None]
+    i3 = d3 - lane[None]
+    interior = ((i3 >= 1) & (lane[None] >= 1)
+                & (i3 <= lxv[None]) & (lane[None] <= lyv[None]))
+
+    def lse(plane):
+        v = jnp.where(interior, plane, -jnp.inf)
+        mx = jnp.max(v, axis=(0, 2))
+        s = jnp.sum(
+            jnp.where(interior, jnp.exp(plane - mx[None, :, None]),
+                      0.0),
+            axis=(0, 2),
+        )
+        return mx + jnp.log(s)
+
+    total_f = lse(fwd_m)
+    total_b = lse(bwd_m + em)
+    total = (total_f + total_b) * jnp.float32(0.5)
+
+    tot = jnp.where(total == 0.0, 1.0, total)[None, :, None]
+    p = exp_ref(jnp.minimum(0.0, fwd_m + bwd_m - tot))
+    p = jnp.where(interior, p, 0.0)
+    return p
+
+
 def hmm5_posterior_qpx(xp, yp, lx, ly, init, trans, lmatch, lins):
     """(D, B, W) match posterior with reference arithmetic:
     p = EXP(min(0, f + b - total)), p[0, j] = p[i, 0] = 0."""
