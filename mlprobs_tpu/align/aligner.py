@@ -13,6 +13,7 @@ PosteriorStage.cpp:123-196) and a fixed small refinement budget.
 """
 from __future__ import annotations
 
+import contextlib
 import os
 from dataclasses import dataclass
 
@@ -66,6 +67,23 @@ def family_viterbi_stats(
     cap = 2 * max(len(s) for s in seqs) + 2
     col_acc = np.zeros(cap, dtype=np.float64)
     sp_sum, sp_cols = 0.0, 0.0
+
+    if pairwise._native_route(seqs, pair_list):
+        # fully-native -G pass: Viterbi DP + traceback + stats in
+        # C++/OpenMP, no device traffic (MSA.cpp:646-762 role)
+        from mlprobs_tpu.ops import viterbi as vit
+
+        lo = pairwise.native_tables("mix", None)[1]
+        res = native.viterbi_family_features(
+            list(seqs), pair_list, lo,
+            np.asarray(vit.VIT_INIT, np.float32), bl, col_acc,
+        )
+        if res is not None:
+            pids, plens, max_len, sp_sum, sp_cols = res
+            return _finish_family_stats(
+                [pids], n, npairs, int(plens.sum()), max_len, col_acc,
+                sp_sum, sp_cols, with_features,
+            )
 
     if pairwise._engine() in ("wavefront", "pallas"):
         # device traceback: only per-pair scalars + the per-step score
@@ -158,11 +176,54 @@ def _finish_family_stats(
 _MODE_BY_PID = {0: "mix", 1: "mix", 2: "local", 3: "partition",
                 4: "partition"}
 
-# Consistency engine: "device" keeps posterior planes in HBM and runs
-# the relaxation as masked matmuls on the MXU (the TPU production path);
-# families over the HBM budget, tiny families, or "host" fall back to
-# the native-OpenMP / scipy CSR path.
-_CONS_ENGINE = os.environ.get("MLPROBS_CONSISTENCY_ENGINE", "device")
+
+def _cons_engine() -> str:
+    """Consistency engine: "device" keeps posterior planes in HBM and
+    runs the relaxation as masked matmuls on the MXU (the TPU production
+    path); families over the HBM budget, tiny families, or "host" fall
+    back to the native-OpenMP / scipy CSR path.  Read per call so the
+    OOM-recovery ladder can retarget a live process."""
+    return os.environ.get("MLPROBS_CONSISTENCY_ENGINE", "device")
+
+
+def is_oom(e: BaseException) -> bool:
+    """True for XLA/PJRT device memory exhaustion (any spelling)."""
+    msg = f"{type(e).__name__}: {e}"
+    return ("RESOURCE_EXHAUSTED" in msg
+            or "Resource exhausted" in msg
+            or "out of memory" in msg.lower()
+            or "Out of memory" in msg)
+
+
+@contextlib.contextmanager
+def host_engines():
+    """Force every stage onto the host: scan/wavefront posterior engines
+    placed on the CPU backend, native/scipy consistency.  The reference's
+    fallback ladder re-runs a *working* binary (MLProbs.py:84-99); after
+    a device OOM the TPU allocator may be poisoned, so the equivalent
+    here is a path that never touches the accelerator."""
+    import jax
+
+    from mlprobs_tpu.align import pairwise
+
+    old = {k: os.environ.get(k) for k in
+           ("MLPROBS_POSTERIOR_ENGINE", "MLPROBS_CONSISTENCY_ENGINE")}
+    os.environ["MLPROBS_POSTERIOR_ENGINE"] = (
+        "native" if pairwise._native_available() else "wavefront"
+    )
+    os.environ["MLPROBS_CONSISTENCY_ENGINE"] = "host"
+    pairwise._reset_engine_caches()
+    cpu = jax.local_devices(backend="cpu")[0]
+    try:
+        with jax.default_device(cpu):
+            yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+        pairwise._reset_engine_caches()
 
 
 def posterior_stage(
@@ -277,10 +338,16 @@ def align_family(
 
         rcfg = _DEF.realigner
         tensor = None
-        if _CONS_ENGINE == "device":
-            tensor = pairwise.device_posterior_tensor(
-                seqs, "qp", None, report=report
-            )
+        if _cons_engine() == "device":
+            try:
+                tensor = pairwise.device_posterior_tensor(
+                    seqs, "qp", None, report=report
+                )
+            except Exception as e:
+                if not is_oom(e):
+                    raise
+                report["consistency_downgrade"] = f"oom_tensor: {e}"[:160]
+                tensor = None
         report["consistency_engine"] = (
             "device" if tensor is not None else "host"
         )
@@ -318,37 +385,58 @@ def align_family(
             report.get("consistency_downgrade", "")
         ).startswith("over_budget")
         fcut = rcfg.consistency_final_cutoff
-        if tensor is not None and accept_all:
-            posts = tensor.relax_and_extract(
-                weights=weights_f, reps=c_reps,
-                selfweight=rcfg.selfweight,
-                selectivity=rcfg.selectivity,
-                final_cutoff=fcut,
-            )
-        elif accept_all and over_budget:
-            # over the whole-tensor HBM gate: sector-tiled device
-            # relaxation (RelaxationSector.cpp role)
-            from mlprobs_tpu.align import sector as sectorlib
 
-            posts = sectorlib.relax_sector_device(
-                posts, lengths, reps=c_reps, weights=weights_f,
-                selfweight=rcfg.selfweight,
-                selectivity=rcfg.selectivity,
-                final_cutoff=fcut,
-            )
-            report["consistency_engine"] = "sector"
-        else:
-            if posts is None:
-                # stochastic-filter regime: host relaxation, but the
-                # posteriors come from the already-built device tensor
-                posts = tensor.extract_csrs()
-            posts = cons.relax_sparse_weighted(
-                posts, lengths, weights_f, reps=c_reps,
+        def _host_weighted_relax(posts_csr):
+            return cons.relax_sparse_weighted(
+                posts_csr, lengths, weights_f, reps=c_reps,
                 selfweight=rcfg.selfweight,
                 selectivity=rcfg.selectivity,
                 distances=None if accept_all else cd,
                 final_cutoff=fcut,
             )
+
+        if tensor is not None and accept_all:
+            try:
+                posts = tensor.relax_and_extract(
+                    weights=weights_f, reps=c_reps,
+                    selfweight=rcfg.selfweight,
+                    selectivity=rcfg.selectivity,
+                    final_cutoff=fcut,
+                )
+            except Exception as e:
+                if not is_oom(e):
+                    raise
+                report["consistency_downgrade"] = f"oom_relax: {e}"[:160]
+                report["consistency_engine"] = "host"
+                posts = _host_weighted_relax(tensor.extract_csrs())
+        elif accept_all and over_budget:
+            # over the whole-tensor HBM gate: sector-tiled device
+            # relaxation (RelaxationSector.cpp role); demoted to the
+            # host path if even the sector plan cannot fit, or if the
+            # device still exhausts (never poison the family)
+            from mlprobs_tpu.align import sector as sectorlib
+
+            try:
+                posts = sectorlib.relax_sector_device(
+                    posts, lengths, reps=c_reps, weights=weights_f,
+                    selfweight=rcfg.selfweight,
+                    selectivity=rcfg.selectivity,
+                    final_cutoff=fcut,
+                )
+                report["consistency_engine"] = "sector"
+            except Exception as e:
+                if not (is_oom(e)
+                        or isinstance(e, sectorlib.SectorOverBudget)):
+                    raise
+                report["consistency_downgrade"] = f"oom_sector: {e}"[:160]
+                report["consistency_engine"] = "host"
+                posts = _host_weighted_relax(posts)
+        else:
+            if posts is None:
+                # stochastic-filter regime: host relaxation, but the
+                # posteriors come from the already-built device tensor
+                posts = tensor.extract_csrs()
+            posts = _host_weighted_relax(posts)
         if keep is not None:
             keep["posts"] = posts
         weights_c = cons.saturate_weights(
@@ -395,30 +483,54 @@ def align_family(
 
     dp_seqs = _partition_dp_seqs(seqs) if mode == "partition" else seqs
     tensor = None
-    if _CONS_ENGINE == "device":
-        tensor = pairwise.device_posterior_tensor(
-            dp_seqs, mode, leave, report=report
-        )
+    if _cons_engine() == "device":
+        try:
+            tensor = pairwise.device_posterior_tensor(
+                dp_seqs, mode, leave, report=report
+            )
+        except Exception as e:
+            if not is_oom(e):
+                raise
+            report["consistency_downgrade"] = f"oom_tensor: {e}"[:160]
+            tensor = None
     report["consistency_engine"] = (
         "device" if tensor is not None else "host"
     )
     if tensor is not None:
         dist = tensor.dist
-        posts = tensor.relax_and_extract(reps=2)
+        try:
+            posts = tensor.relax_and_extract(reps=2)
+        except Exception as e:
+            if not is_oom(e):
+                raise
+            report["consistency_downgrade"] = f"oom_relax: {e}"[:160]
+            report["consistency_engine"] = "host"
+            posts = cons.relax_sparse(
+                tensor.extract_csrs(), lengths, reps=2
+            )
     else:
         posts, dist = posterior_stage(dp_seqs, mode, leave)
-        if _CONS_ENGINE == "device" and str(
+        if _cons_engine() == "device" and str(
             report.get("consistency_downgrade", "")
         ).startswith("over_budget"):
             # over the whole-tensor HBM gate: sector-tiled device
             # relaxation keeps the plain baseMSA transform on the MXU
-            # (RelaxationSector.cpp role)
+            # (RelaxationSector.cpp role); any residual device
+            # exhaustion demotes to the host transform
             from mlprobs_tpu.align import sector as sectorlib
 
-            posts = sectorlib.relax_sector_device(
-                posts, lengths, reps=2
-            )
-            report["consistency_engine"] = "sector"
+            try:
+                posts = sectorlib.relax_sector_device(
+                    posts, lengths, reps=2
+                )
+                report["consistency_engine"] = "sector"
+            except Exception as e:
+                if not (is_oom(e)
+                        or isinstance(e, sectorlib.SectorOverBudget)):
+                    raise
+                report["consistency_downgrade"] = f"oom_sector: {e}"[:160]
+                report["consistency_engine"] = "host"
+                posts = cons.relax_sparse(posts, lengths, reps=2)
         else:
             posts = cons.relax_sparse(posts, lengths, reps=2)
     if keep is not None:

@@ -149,6 +149,12 @@ _MODE_MODELS = {
 #                 VMEM-resident DP state; the TPU production path.
 #   "wavefront" — anti-diagonal scaled-probability lax.scan
 #                 (ops/wavefront.py); the CPU production / oracle path.
+#   "native"    — the C++/OpenMP host engine (native/mlprobs_native.cpp
+#                 posterior_family_run): reference f32 arithmetic, zero
+#                 device traffic.  Small families route here even under
+#                 "pallas"/"wavefront" (see _native_route) — a tunneled
+#                 chip costs ~0.25 s per device->host sync, which dwarfs
+#                 a small family's entire posterior stage.
 #   "scan"      — per-row log-space scans (ops/pairhmm.py); debugging.
 # Default: pallas on a real TPU backend, wavefront elsewhere (the Pallas
 # kernels only run compiled on TPU hardware; interpret mode is for
@@ -161,6 +167,48 @@ def _engine() -> str:
     if env:
         return env
     return "pallas" if jax.default_backend() == "tpu" else "wavefront"
+
+
+# Families whose total posterior DP work is below this many grid cells
+# run the native host engine instead of the device (the reference's own
+# split: work goes to the accelerator only when it pays for the
+# transfer, QuickPosteriorStage.cpp:141-154 in reverse).  ~3e8 cells is
+# a few seconds of 2-core OpenMP — the device path's fixed sync cost.
+_NATIVE_MAX_CELLS = int(float(os.environ.get(
+    "MLPROBS_NATIVE_MAX_CELLS", 3e8)))
+
+
+def _native_available() -> bool:
+    from mlprobs_tpu.utils import native
+
+    return native.lib() is not None and hasattr(
+        native.lib(), "posterior_family_run"
+    )
+
+
+def _native_route(
+    seqs: Sequence[np.ndarray],
+    pairs: Sequence[tuple[int, int]] | None = None,
+) -> bool:
+    """True when the whole family should run on the native host engine."""
+    eng = _engine()
+    if eng == "native":
+        return _native_available()
+    if eng not in ("wavefront", "pallas"):
+        return False
+    if os.environ.get("MLPROBS_NATIVE_ROUTE", "1") == "0":
+        return False
+    n = len(seqs)
+    if pairs is None:
+        cells = sum(
+            (len(seqs[i]) + 1) * (len(seqs[j]) + 1)
+            for i in range(n) for j in range(i + 1, n)
+        )
+    else:
+        cells = sum(
+            (len(seqs[i]) + 1) * (len(seqs[j]) + 1) for i, j in pairs
+        )
+    return cells <= _NATIVE_MAX_CELLS and _native_available()
 
 
 @functools.lru_cache(maxsize=1)
@@ -664,6 +712,12 @@ def device_posterior_tensor(
     if n < 3:
         report["consistency_downgrade"] = "tiny_family"
         return None
+    if _native_route(seqs):
+        # the whole family runs on the native host engine (posterior +
+        # OpenMP relaxation); building a device tensor would only add
+        # tunnel syncs
+        report["consistency_downgrade"] = "native_route"
+        return None
     lp = _bucket_len(max(len(s) for s in seqs))
     if n * n * lp * lp * 4 > _CONS_BUDGET:
         report["consistency_downgrade"] = (
@@ -818,6 +872,11 @@ def all_pairs_posteriors(
     n = len(seqs)
     if pairs is None:
         pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
+    if _native_route(seqs, pairs):
+        yield from _all_pairs_posteriors_native(
+            seqs, mode, leave_prob, pairs, with_matches
+        )
+        return
     if _engine() in ("wavefront", "pallas"):
         yield from _all_pairs_posteriors_wf(
             seqs, mode, leave_prob, pairs, with_matches
@@ -840,6 +899,46 @@ def all_pairs_posteriors(
                 yield (i, j), csr, float(score[k]), int(out[3][k])
             else:
                 yield (i, j), csr, float(score[k])
+
+
+def native_tables(mode: str, leave_prob: float | None):
+    """Plain-numpy log tables for the native host engine."""
+    p5 = mp.hmm5_params()
+    pl = mp.hmm_local_params(leave_prob)
+    pp = (mp.partition_params_qp() if mode == "qp"
+          else mp.partition_params())
+    h5 = {"init": p5.init, "trans": p5.trans,
+          "lmatch": p5.lmatch, "lins": p5.lins}
+    lo = {"trans": pl.trans, "lmatch": pl.lmatch, "lins": pl.lins,
+          "log_stay": float(pl.log_stay)}
+    pt = {"lscore": pp.lscore, "lgap_open": float(pp.lgap_open),
+          "lgap_ext": float(pp.lgap_ext)}
+    return h5, lo, pt
+
+
+def _all_pairs_posteriors_native(seqs, mode, leave_prob, pairs,
+                                 with_matches):
+    """All pairs on the C++/OpenMP engine; same yield contract as the
+    device paths (PosteriorStage.cpp:94-196 role, zero device traffic)."""
+    from mlprobs_tpu.utils import native
+
+    h5, lo, pt = native_tables(mode, leave_prob)
+    out = native.posterior_family(
+        list(seqs), list(pairs), mode, h5, lo, pt,
+        cutoff=CUTOFF, with_matches=with_matches,
+    )
+    if out is None:  # lost the runtime mid-flight: device fallback
+        yield from _all_pairs_posteriors_wf(
+            seqs, mode, leave_prob, pairs, with_matches
+        )
+        return
+    STATS.add("posterior_native_pairs", len(pairs))
+    csrs, scores, matches = out
+    for k, (i, j) in enumerate(pairs):
+        if with_matches:
+            yield (i, j), csrs[k], float(scores[k]), int(matches[k])
+        else:
+            yield (i, j), csrs[k], float(scores[k])
 
 
 def _long_pair_budget_ok(li: int, lj: int) -> bool:

@@ -77,9 +77,15 @@ def _mwt_host(post: np.ndarray) -> tuple[np.ndarray, float]:
 
 def mwt_path(post: np.ndarray) -> tuple[np.ndarray, float]:
     """Run the MWT DP on a dense posterior plane; return (path, score)."""
+    from mlprobs_tpu.utils import native
+
     lx, ly = post.shape
     if lx * ly <= HOST_MWT_AREA:
-        dirs, score = _mwt_host(np.asarray(post))
+        res = native.mwt_fill(np.asarray(post))
+        if res is not None:
+            dirs, score = res
+        else:
+            dirs, score = _mwt_host(np.asarray(post))
         return tbk.mwt_traceback(dirs, lx, ly), score
     padded = _pad_plane(post)
     dirs, score = _mwt_fn()(jnp.asarray(padded), lx, ly)

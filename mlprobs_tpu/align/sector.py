@@ -44,6 +44,20 @@ from mlprobs_tpu.core.config import DEFAULT as _CFG
 CUTOFF = 0.01
 
 
+class SectorOverBudget(RuntimeError):
+    """The sector plan cannot fit the HBM budget at any batch size;
+    callers must demote to the host relaxation path BEFORE launching."""
+
+
+def _sector_peak_bytes(b: int, n: int, lp: int, k: int) -> int:
+    """Peak live HBM of one sector step at pair-block size `b`."""
+    panel = 4 * b * n * lp * lp          # f32 (b, N, Lp, Lp)
+    block = 4 * b * b * lp * lp          # f32 (b, b, Lp, Lp)
+    topk = 2 * 4 * b * b * lp * k
+    # panels i + j_w + one scatter-copy transient; s_ij + prod + masked r
+    return 3 * panel + 3 * block + topk
+
+
 def _pow2ceil(n: int) -> int:
     return 1 << max(0, int(n - 1).bit_length())
 
@@ -97,12 +111,28 @@ class SectorRelaxer:
         self.lp = -(-max(128, max(lengths)) // 128) * 128
         budget = int(budget or _CFG.engine.sector_budget_bytes)
         self.k = int(extract_topk or _CFG.engine.sector_extract_topk)
-        # two dense panels of b*N*Lp^2 f32 + (b, b, Lp, Lp) output + the
-        # top-k staging must fit the budget
-        per_row = 8 * self.n * self.lp * self.lp  # two panels, bytes/row
-        b = max(1, budget // max(1, per_row))
-        b = 1 << (b.bit_length() - 1)
-        self.b = int(min(b, self.n, 128))
+        # Honest peak-HBM accounting (the QuickPosteriorStage.cpp:107-135
+        # contract: size the wave so it FITS, never launch-and-die).
+        # Live at the einsum: panel_i + panel_j_w (b*N*Lp^2 each), one
+        # transient scatter copy during _densify, s_ij + prod + the
+        # masked result (b^2*Lp^2 each).  The round-4 model counted only
+        # the two panels; at N=142, Lp=640 that picked b=16 whose s_ij
+        # alone is 6.7 GB -> the BB30003 OOM cascade (VERDICT r04).
+        self.b = 0
+        for b in (128, 64, 32, 16, 8, 4, 2, 1):
+            if b > self.n and b != 1:
+                continue
+            peak = _sector_peak_bytes(b, self.n, self.lp, self.k)
+            if peak <= budget:
+                self.b = b
+                break
+        if self.b == 0:
+            raise SectorOverBudget(
+                f"sector relaxation cannot fit HBM budget even at b=1 "
+                f"(N={self.n}, Lp={self.lp}, "
+                f"peak={_sector_peak_bytes(1, self.n, self.lp, self.k):.2e}"
+                f" > budget={budget:.2e})"
+            )
         self.nblocks = -(-self.n // self.b)
 
     # -------------------------------------------------------------- panels

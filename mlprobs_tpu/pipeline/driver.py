@@ -14,7 +14,9 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from mlprobs_tpu.align.aligner import align_family, family_viterbi_stats
+from mlprobs_tpu.align.aligner import (
+    align_family, family_viterbi_stats, is_oom,
+)
 from mlprobs_tpu.core.msa import MSA
 from mlprobs_tpu.models import forests
 from mlprobs_tpu.ops.colscore import column_scores
@@ -55,6 +57,35 @@ class PipelineReport:
                                # (MultiSequence::calculateHash analogue,
                                # ExtendedMSA.cpp:221)
     timings: dict = field(default_factory=dict)
+
+
+def _fallback_align(records, rep: "PipelineReport", device_suspect: bool):
+    """Whole-family QuickProbs-role fallback that ALWAYS returns an MSA.
+
+    The reference's ladder re-runs a binary that still works
+    (MLProbs.py:84-99); here the one failure mode a TPU has — device
+    memory exhaustion — can poison the allocator for the rest of the
+    process, so an OOM (`device_suspect`) skips the accelerator and runs
+    the fallback on host engines directly.  A non-OOM crash retries on
+    the device first, then degrades to host if that also dies.  The
+    round-4 ladder re-entered the same dead device and took 92 campaign
+    families down with it (VERDICT r04 item 1)."""
+    from mlprobs_tpu.align.aligner import host_engines
+
+    if not device_suspect:
+        try:
+            return align_family(
+                records, config="quickprobs", report=rep.engines
+            ).sort_by_header()
+        except Exception as e2:  # noqa: BLE001 - ladder must not raise
+            rep.error += f" | fallback: {type(e2).__name__}: {e2}"
+            STATS.add("pipeline.fallback_host", 1.0)
+    else:
+        STATS.add("pipeline.fallback_host", 1.0)
+    with host_engines():
+        return align_family(
+            records, config="quickprobs", report=rep.engines
+        ).sort_by_header()
 
 
 def run_pipeline(
@@ -161,17 +192,13 @@ def run_pipeline(
             else "start"
         rep.error = f"{type(e).__name__}@{stage}: {e}"
         STATS.add("pipeline.crash_fallback", 1.0)
-        out = align_family(
-            records, config="quickprobs", report=rep.engines
-        ).sort_by_header()
+        out = _fallback_align(records, rep, device_suspect=is_oom(e))
         rep.crash_fallback = True
         rep.fallback = True
         mark("fallback")
 
     if out.num_seqs == 0 or out.length == 0:
-        out = align_family(
-            records, config="quickprobs", report=rep.engines
-        ).sort_by_header()
+        out = _fallback_align(records, rep, device_suspect=False)
         rep.crash_fallback = True
         rep.fallback = True
         rep.error = rep.error or "EmptyOutput@realign: empty final MSA"

@@ -61,9 +61,12 @@ def backend_tag(backend) -> str:
     import jaxlib
 
     parts = [backend.platform, getattr(jaxlib, "__version__", "?")]
-    if backend.platform == "cpu":
-        parts.append(_cpu_fingerprint())
-    else:
+    # Every tag carries the host-CPU fingerprint: even an accelerator
+    # process compiles XLA:CPU programs (host fallback engines), and
+    # those entries land in the same cache dir — sharing it across
+    # hosts with different CPUs is how wrong-machine AOT blobs travel.
+    parts.append(_cpu_fingerprint())
+    if backend.platform != "cpu":
         parts.append(str(getattr(backend, "platform_version", "")))
     digest = hashlib.sha256("|".join(parts).encode()).hexdigest()[:12]
     return f"{backend.platform}-{digest}"
@@ -83,9 +86,23 @@ def enable() -> None:
     try:
         from jax._src import xla_bridge
 
-        tag = backend_tag(xla_bridge.get_backend())
+        backend = xla_bridge.get_backend()
+        tag = backend_tag(backend)
     except Exception:
+        backend = None
         tag = "default"
+    if backend is not None and backend.platform == "cpu":
+        # Do NOT persist XLA:CPU entries.  CPU executables are AOT blobs
+        # whose LLVM target features come from CPUID host detection; the
+        # CPUID-derived key above still collides across virtualised
+        # hosts whose /proc/cpuinfo agrees but whose LLVM feature
+        # baking differs (observed: blobs compiled with +amx-fp16/+avx10
+        # loading on a host without them — cpu_aot_loader warns of
+        # SIGILL and DP tie-breaks can flip).  In-process CPU compiles
+        # are cheap; a wrong-machine executable is silent corruption.
+        # Accelerator backends keep the cache (their serialized
+        # artifacts are device-targeted, not host-CPUID-targeted).
+        return
     cache_dir = str(Path(cache_dir) / tag)
     Path(cache_dir).mkdir(parents=True, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -125,6 +125,172 @@ def viterbi_features_batch(
     return pids, lengths, max_len, float(sp[0]), float(sp[1])
 
 
+_POST_MODES = {"mix": 0, "local": 1, "partition": 2, "qp": 3}
+
+
+def posterior_family(
+    seqs: list[np.ndarray],
+    pairs: list[tuple[int, int]],
+    mode: str,
+    h5: dict, lo: dict, pt: dict,
+    cutoff: float = 0.01,
+    with_matches: bool = False,
+):
+    """All-pairs posteriors on the native host engine.
+
+    Returns (csrs, scores, matches_or_None) with csrs a list of
+    scipy.sparse.csr_matrix per pair, or None when the runtime is
+    unavailable.  h5/lo/pt are plain numpy log-table dicts (see
+    align/pairwise.native_tables)."""
+    import scipy.sparse as sp
+
+    L = lib()
+    if L is None or not hasattr(L, "posterior_family_run"):
+        return None
+    f32p = ctypes.POINTER(ctypes.c_float)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i8p = ctypes.POINTER(ctypes.c_int8)
+    L.posterior_family_run.restype = ctypes.c_int64
+    L.posterior_family_run.argtypes = [
+        ctypes.c_int, i8p, i64p, ctypes.c_int, i32p, ctypes.c_int,
+        f32p, f32p, f32p, f32p,
+        f32p, f32p, f32p, ctypes.c_float,
+        f32p, ctypes.c_float, ctypes.c_float,
+        ctypes.c_float, f32p, i32p, i64p,
+    ]
+    L.posterior_family_export.restype = None
+    L.posterior_family_export.argtypes = [i32p, i32p, f32p]
+
+    n = len(seqs)
+    seq_off = np.zeros(n + 1, np.int64)
+    seq_off[1:] = np.cumsum([len(s) for s in seqs])
+    seq_pool = (np.concatenate(seqs).astype(np.int8) if n
+                else np.zeros(0, np.int8))
+    pair_ij = np.ascontiguousarray(pairs, dtype=np.int32)
+    npairs = len(pairs)
+    scores = np.zeros(npairs, np.float32)
+    matches = np.zeros(npairs, np.int32)
+    nnz = np.zeros(npairs, np.int64)
+    f32 = lambda a: np.ascontiguousarray(a, np.float32)  # noqa: E731
+    h5i, h5t = f32(h5["init"]), f32(h5["trans"])
+    h5m, h5n = f32(h5["lmatch"]), f32(h5["lins"])
+    lot, lom = f32(lo["trans"]), f32(lo["lmatch"])
+    lon = f32(lo["lins"])
+    pts = f32(pt["lscore"])
+    total = L.posterior_family_run(
+        n, _i8(seq_pool), seq_off.ctypes.data_as(i64p),
+        npairs, pair_ij.ctypes.data_as(i32p), _POST_MODES[mode],
+        h5i.ctypes.data_as(f32p), h5t.ctypes.data_as(f32p),
+        h5m.ctypes.data_as(f32p), h5n.ctypes.data_as(f32p),
+        lot.ctypes.data_as(f32p), lom.ctypes.data_as(f32p),
+        lon.ctypes.data_as(f32p), ctypes.c_float(lo["log_stay"]),
+        pts.ctypes.data_as(f32p), ctypes.c_float(pt["lgap_open"]),
+        ctypes.c_float(pt["lgap_ext"]),
+        ctypes.c_float(cutoff),
+        scores.ctypes.data_as(f32p),
+        (matches.ctypes.data_as(i32p) if with_matches
+         else ctypes.cast(None, i32p)),
+        nnz.ctypes.data_as(i64p),
+    )
+    n_indptr = sum(len(seqs[i]) + 1 for i, _ in pairs)
+    indptr_pool = np.zeros(n_indptr, np.int32)
+    indices_pool = np.zeros(max(1, total), np.int32)
+    data_pool = np.zeros(max(1, total), np.float32)
+    L.posterior_family_export(
+        indptr_pool.ctypes.data_as(i32p),
+        indices_pool.ctypes.data_as(i32p),
+        data_pool.ctypes.data_as(f32p),
+    )
+    csrs = []
+    po = do = 0
+    for k, (i, j) in enumerate(pairs):
+        li, lj = len(seqs[i]), len(seqs[j])
+        m = int(nnz[k])
+        csrs.append(sp.csr_matrix(
+            (data_pool[do:do + m].copy(),
+             indices_pool[do:do + m].copy(),
+             indptr_pool[po:po + li + 1].copy()),
+            shape=(li, lj),
+        ))
+        po += li + 1
+        do += m
+    return csrs, scores, (matches if with_matches else None)
+
+
+def viterbi_family_features(
+    seqs: list[np.ndarray],
+    pairs: list[tuple[int, int]],
+    lo: dict,
+    vinit: np.ndarray,          # (3,) float32
+    blosum: np.ndarray,         # (21, 21) float64
+    col_acc: np.ndarray,        # (cap,) float64, accumulated in place
+):
+    """Fully-native -G feature pass: Viterbi DP + traceback + stats.
+
+    Returns (pids, path_lens, max_len, sp_sum, sp_cols) or None."""
+    L = lib()
+    if L is None or not hasattr(L, "viterbi_family_features"):
+        return None
+    f32p = ctypes.POINTER(ctypes.c_float)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i8p = ctypes.POINTER(ctypes.c_int8)
+    L.viterbi_family_features.restype = ctypes.c_int
+    L.viterbi_family_features.argtypes = [
+        ctypes.c_int, i8p, i64p, ctypes.c_int, i32p,
+        f32p, f32p, f32p, f32p, f64p,
+        f64p, i32p, f64p, ctypes.c_int, f64p,
+    ]
+    n = len(seqs)
+    seq_off = np.zeros(n + 1, np.int64)
+    seq_off[1:] = np.cumsum([len(s) for s in seqs])
+    seq_pool = (np.concatenate(seqs).astype(np.int8) if n
+                else np.zeros(0, np.int8))
+    pair_ij = np.ascontiguousarray(pairs, dtype=np.int32)
+    npairs = len(pairs)
+    f32 = lambda a: np.ascontiguousarray(a, np.float32)  # noqa: E731
+    lot, lom, lon = f32(lo["trans"]), f32(lo["lmatch"]), f32(lo["lins"])
+    vin = f32(vinit)
+    bl = np.ascontiguousarray(blosum, np.float64)
+    pids = np.zeros(npairs, np.float64)
+    plens = np.zeros(npairs, np.int32)
+    sp = np.zeros(2, np.float64)
+    max_len = L.viterbi_family_features(
+        n, _i8(seq_pool), seq_off.ctypes.data_as(i64p),
+        npairs, pair_ij.ctypes.data_as(i32p),
+        lot.ctypes.data_as(f32p), lom.ctypes.data_as(f32p),
+        lon.ctypes.data_as(f32p), vin.ctypes.data_as(f32p),
+        bl.ctypes.data_as(f64p),
+        pids.ctypes.data_as(f64p),
+        plens.ctypes.data_as(i32p),
+        col_acc.ctypes.data_as(f64p), len(col_acc),
+        sp.ctypes.data_as(f64p),
+    )
+    return pids, plens, max_len, float(sp[0]), float(sp[1])
+
+
+def mwt_fill(post: np.ndarray):
+    """Native MWT DP fill over a 0-based (lx, ly) posterior plane.
+
+    Returns (dirs (lx+1, ly+1) int8, score) or None."""
+    L = lib()
+    if L is None or not hasattr(L, "mwt_fill_dense"):
+        return None
+    f32p = ctypes.POINTER(ctypes.c_float)
+    i8p = ctypes.POINTER(ctypes.c_int8)
+    L.mwt_fill_dense.restype = ctypes.c_float
+    L.mwt_fill_dense.argtypes = [f32p, ctypes.c_int, ctypes.c_int, i8p]
+    post = np.ascontiguousarray(post, np.float32)
+    lx, ly = post.shape
+    dirs = np.empty((lx + 1, ly + 1), np.int8)
+    score = L.mwt_fill_dense(
+        post.ctypes.data_as(f32p), lx, ly, _i8(dirs)
+    )
+    return dirs, float(score)
+
+
 def relax_all_pairs(
     n: int,
     lengths: np.ndarray,        # (n,) int32

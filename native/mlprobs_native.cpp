@@ -7,13 +7,524 @@
 //
 // Build: see tools/build_native.py (invoked automatically on import).
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <mutex>
 #include <vector>
 
 #ifdef _OPENMP
 #include <omp.h>
 #endif
+
+// ---------------------------------------------------------------------------
+// Log-space scalar primitives (reference arithmetic).
+//
+// Both reference aligners run their pair-HMMs in float32 log space with
+// POLYNOMIAL approximations: LOOKUP_FLOAT, a piecewise cubic fit of
+// log1p(exp(x)) on [0, 7.5] used inside every LOG_ADD/LOG_PLUS_EQUALS,
+// and a branch-polynomial EXP on [-16, 0] for the posterior
+// (ScoreType.h:36-70,185-212 in baseMSA; same family in QuickProbs).
+// The fit error is path-dependent, so reproducing the binary's
+// posteriors — and through the MWT tie-breaks its alignments — requires
+// replaying the same arithmetic, not something more accurate.  These
+// scalars mirror ops/qpx.py (the oracle-tested JAX twins).
+
+namespace {
+
+constexpr float LOG_ZERO_F = -2e20f;
+constexpr float LOG_UNDERFLOW = 7.5f;
+
+inline float lookup_float(float x) {
+    // piecewise-cubic log1p(exp(x)) on [0, 7.5]  (ScoreType.h:185-212)
+    if (x <= 1.00f)
+        return ((-0.009350833524763f * x + 0.130659527668286f) * x
+                + 0.498799810682272f) * x + 0.693203116424741f;
+    if (x <= 2.50f)
+        return ((-0.014532321752540f * x + 0.139942324101744f) * x
+                + 0.495635523139337f) * x + 0.692140569840976f;
+    if (x <= 4.50f)
+        return ((-0.004605031767994f * x + 0.063427417320019f) * x
+                + 0.695956496475118f) * x + 0.514272634594009f;
+    return ((-0.000458661602210f * x + 0.009695946122598f) * x
+            + 0.930734667215156f) * x + 0.168037164329057f;
+}
+
+inline float log_add(float x, float y) {
+    // LOG_ADD with exact LOG_ZERO absorption and the 7.5 threshold
+    float hi = x > y ? x : y;
+    float lo = x > y ? y : x;
+    float d = hi - lo;
+    if (lo == LOG_ZERO_F || d >= LOG_UNDERFLOW) return hi;
+    return lookup_float(d) + lo;
+}
+
+inline void log_plus_equals(float &x, float y) { x = log_add(x, y); }
+
+inline float exp_ref(float x) {
+    // branch-polynomial EXP (ScoreType.h:40-60); exp(x) above 0
+    if (x > 0.0f) return std::exp(x);
+    if (x > -0.5f)
+        return (((0.03254409303190190000f * x + 0.16280432765779600000f)
+                 * x + 0.49929760485974900000f) * x
+                + 0.99995149601363700000f) * x + 0.99999925508501600000f;
+    if (x > -1.0f)
+        return (((0.01973899026052090000f * x + 0.13822379685007000000f)
+                 * x + 0.48056651562365000000f) * x
+                + 0.99326940370383500000f) * x + 0.99906756856399500000f;
+    if (x > -2.0f)
+        return (((0.00940528203591384000f * x + 0.09414963667859410000f)
+                 * x + 0.40825793595877300000f) * x
+                + 0.93933625499130400000f) * x + 0.98369508190545300000f;
+    if (x > -4.0f)
+        return (((0.00217245711583303000f * x + 0.03484829428350620000f)
+                 * x + 0.22118199801337800000f) * x
+                + 0.67049462206469500000f) * x + 0.83556950223398500000f;
+    if (x > -8.0f)
+        return (((0.00012398771025456900f * x + 0.00349155785951272000f)
+                 * x + 0.03727721426017900000f) * x
+                + 0.17974997741536900000f) * x + 0.33249299994217400000f;
+    if (x > -16.0f)
+        return (((0.00000051741713416603f * x + 0.00002721456879608080f)
+                 * x + 0.00053418601865636800f) * x
+                + 0.00464101989351936000f) * x + 0.01507447981459420000f;
+    return 0.0f;
+}
+
+// ------------------------------------------------------------------ hmm5
+// 5-state double-affine pair-HMM forward/backward match planes in f32
+// log space, row-major, per-cell op order mirroring ops/qpx.hmm5_fb_qpx
+// (ParallelProbabilisticModel.cpp:40-238 / ProbabilisticModel.h:153-395
+// roles).  Outputs the (lx+1)*(ly+1) M planes and total=(tf+tb)/2.
+
+struct Hmm5Tables {
+    const float *init;    // (5,)
+    const float *trans;   // (5,5) row-major
+    const float *lmatch;  // (21,21)
+    const float *lins;    // (21,2)
+};
+
+inline float T5(const Hmm5Tables &t, int a, int b) {
+    return t.trans[a * 5 + b];
+}
+
+void hmm5_fb(const int8_t *x, const int8_t *y, int lx, int ly,
+             const Hmm5Tables &tb, float *fM, float *bM, float *total) {
+    const int W = ly + 1;
+    const size_t plane = (size_t)(lx + 1) * W;
+    std::vector<float> fx1(plane), fy1(plane), fx2(plane), fy2(plane);
+    auto M = [&](float *p, int i, int j) -> float & {
+        return p[(size_t)i * W + j];
+    };
+    for (size_t k = 0; k < plane; ++k)
+        fM[k] = fx1[k] = fy1[k] = fx2[k] = fy2[k] = LOG_ZERO_F;
+
+    // ---- forward (row-major; y states consume j-1 within the row) ----
+    for (int i = 0; i <= lx; ++i) {
+        for (int j = 0; j <= ly; ++j) {
+            if (i == 0 && j == 0) continue;
+            const int xc = i >= 1 ? x[i - 1] : 20;
+            const int yc = j >= 1 ? y[j - 1] : 20;
+            // M
+            if (i >= 1 && j >= 1) {
+                const float em = tb.lmatch[xc * 21 + yc];
+                if (i == 1 && j == 1) {
+                    M(fM, 1, 1) = tb.init[0] + em;
+                } else {
+                    float acc = M(fM, i - 1, j - 1) + T5(tb, 0, 0);
+                    if (!(acc > LOG_ZERO_F / 2)) acc = LOG_ZERO_F;
+                    const float *prev[4] = {
+                        &M(fx1.data(), i - 1, j - 1),
+                        &M(fy1.data(), i - 1, j - 1),
+                        &M(fx2.data(), i - 1, j - 1),
+                        &M(fy2.data(), i - 1, j - 1)};
+                    const int st[4] = {1, 2, 3, 4};
+                    for (int k = 0; k < 4; ++k) {
+                        const float v = *prev[k];
+                        if (v != LOG_ZERO_F)
+                            log_plus_equals(acc, v + T5(tb, st[k], 0));
+                    }
+                    M(fM, i, j) = acc + em;
+                }
+            }
+            // X states (consume x; depend on (i-1, j))
+            if (i >= 1) {
+                const float ins0 = tb.lins[xc * 2 + 0];
+                const float ins1 = tb.lins[xc * 2 + 1];
+                if (i == 1 && j == 0) {
+                    M(fx1.data(), 1, 0) = tb.init[1] + ins0;
+                    M(fx2.data(), 1, 0) = tb.init[3] + ins1;
+                } else {
+                    float a = LOG_ZERO_F;
+                    if (M(fM, i - 1, j) != LOG_ZERO_F)
+                        a = M(fM, i - 1, j) + T5(tb, 0, 1);
+                    if (M(fx1.data(), i - 1, j) != LOG_ZERO_F)
+                        log_plus_equals(
+                            a, M(fx1.data(), i - 1, j) + T5(tb, 1, 1));
+                    M(fx1.data(), i, j) = ins0 + a;
+                    float b2 = LOG_ZERO_F;
+                    if (M(fM, i - 1, j) != LOG_ZERO_F)
+                        b2 = M(fM, i - 1, j) + T5(tb, 0, 3);
+                    if (M(fx2.data(), i - 1, j) != LOG_ZERO_F)
+                        log_plus_equals(
+                            b2, M(fx2.data(), i - 1, j) + T5(tb, 3, 3));
+                    M(fx2.data(), i, j) = ins1 + b2;
+                }
+            }
+            // Y states (consume y; depend on (i, j-1))
+            if (j >= 1) {
+                const float ins0 = tb.lins[yc * 2 + 0];
+                const float ins1 = tb.lins[yc * 2 + 1];
+                if (i == 0 && j == 1) {
+                    M(fy1.data(), 0, 1) = tb.init[2] + ins0;
+                    M(fy2.data(), 0, 1) = tb.init[4] + ins1;
+                } else {
+                    float a = LOG_ZERO_F;
+                    if (M(fM, i, j - 1) != LOG_ZERO_F)
+                        a = M(fM, i, j - 1) + T5(tb, 0, 2);
+                    if (M(fy1.data(), i, j - 1) != LOG_ZERO_F)
+                        log_plus_equals(
+                            a, M(fy1.data(), i, j - 1) + T5(tb, 2, 2));
+                    M(fy1.data(), i, j) = ins0 + a;
+                    float b2 = LOG_ZERO_F;
+                    if (M(fM, i, j - 1) != LOG_ZERO_F)
+                        b2 = M(fM, i, j - 1) + T5(tb, 0, 4);
+                    if (M(fy2.data(), i, j - 1) != LOG_ZERO_F)
+                        log_plus_equals(
+                            b2, M(fy2.data(), i, j - 1) + T5(tb, 4, 4));
+                    M(fy2.data(), i, j) = ins1 + b2;
+                }
+            }
+        }
+    }
+    // forward total at (lx, ly): LPE order M, X1, Y1, X2, Y2
+    float tf = LOG_ZERO_F;
+    const float *fs[5] = {&M(fM, lx, ly), &M(fx1.data(), lx, ly),
+                          &M(fy1.data(), lx, ly), &M(fx2.data(), lx, ly),
+                          &M(fy2.data(), lx, ly)};
+    for (int k = 0; k < 5; ++k)
+        if (*fs[k] != LOG_ZERO_F)
+            log_plus_equals(tf, *fs[k] + tb.init[k]);
+
+    // ---- backward ----
+    std::vector<float> bx1(plane, LOG_ZERO_F), by1(plane, LOG_ZERO_F);
+    std::vector<float> bx2(plane, LOG_ZERO_F), by2(plane, LOG_ZERO_F);
+    for (size_t k = 0; k < plane; ++k) bM[k] = LOG_ZERO_F;
+    for (int i = lx; i >= 0; --i) {
+        for (int j = ly; j >= 0; --j) {
+            if (i == lx && j == ly) {
+                M(bM, i, j) = tb.init[0];
+                M(bx1.data(), i, j) = tb.init[1];
+                M(by1.data(), i, j) = tb.init[2];
+                M(bx2.data(), i, j) = tb.init[3];
+                M(by2.data(), i, j) = tb.init[4];
+                continue;
+            }
+            const int xn = i < lx ? x[i] : 20;   // x_{i+1}
+            const int yn = j < ly ? y[j] : 20;   // y_{j+1}
+            float pxy = LOG_ZERO_F;
+            if (i < lx && j < ly && M(bM, i + 1, j + 1) != LOG_ZERO_F)
+                pxy = M(bM, i + 1, j + 1) + tb.lmatch[xn * 21 + yn];
+            // terms into M: order M, X1, X2, Y1, Y2
+            float acc = pxy == LOG_ZERO_F ? LOG_ZERO_F
+                                          : pxy + T5(tb, 0, 0);
+            if (i < lx) {
+                if (M(bx1.data(), i + 1, j) != LOG_ZERO_F)
+                    log_plus_equals(acc, M(bx1.data(), i + 1, j)
+                                    + tb.lins[xn * 2 + 0] + T5(tb, 0, 1));
+                if (M(bx2.data(), i + 1, j) != LOG_ZERO_F)
+                    log_plus_equals(acc, M(bx2.data(), i + 1, j)
+                                    + tb.lins[xn * 2 + 1] + T5(tb, 0, 3));
+            }
+            if (j < ly) {
+                if (M(by1.data(), i, j + 1) != LOG_ZERO_F)
+                    log_plus_equals(acc, M(by1.data(), i, j + 1)
+                                    + tb.lins[yn * 2 + 0] + T5(tb, 0, 2));
+                if (M(by2.data(), i, j + 1) != LOG_ZERO_F)
+                    log_plus_equals(acc, M(by2.data(), i, j + 1)
+                                    + tb.lins[yn * 2 + 1] + T5(tb, 0, 4));
+            }
+            M(bM, i, j) = acc;
+            // insert-state levels
+            float v;
+            v = pxy == LOG_ZERO_F ? LOG_ZERO_F : pxy + T5(tb, 1, 0);
+            if (i < lx && M(bx1.data(), i + 1, j) != LOG_ZERO_F)
+                log_plus_equals(v, M(bx1.data(), i + 1, j)
+                                + tb.lins[xn * 2 + 0] + T5(tb, 1, 1));
+            M(bx1.data(), i, j) = v;
+            v = pxy == LOG_ZERO_F ? LOG_ZERO_F : pxy + T5(tb, 3, 0);
+            if (i < lx && M(bx2.data(), i + 1, j) != LOG_ZERO_F)
+                log_plus_equals(v, M(bx2.data(), i + 1, j)
+                                + tb.lins[xn * 2 + 1] + T5(tb, 3, 3));
+            M(bx2.data(), i, j) = v;
+            v = pxy == LOG_ZERO_F ? LOG_ZERO_F : pxy + T5(tb, 2, 0);
+            if (j < ly && M(by1.data(), i, j + 1) != LOG_ZERO_F)
+                log_plus_equals(v, M(by1.data(), i, j + 1)
+                                + tb.lins[yn * 2 + 0] + T5(tb, 2, 2));
+            M(by1.data(), i, j) = v;
+            v = pxy == LOG_ZERO_F ? LOG_ZERO_F : pxy + T5(tb, 4, 0);
+            if (j < ly && M(by2.data(), i, j + 1) != LOG_ZERO_F)
+                log_plus_equals(v, M(by2.data(), i, j + 1)
+                                + tb.lins[yn * 2 + 1] + T5(tb, 4, 4));
+            M(by2.data(), i, j) = v;
+        }
+    }
+    // backward total re-assembled at the start cells
+    float tbtot = tb.init[0] + tb.lmatch[x[0] * 21 + y[0]] + M(bM, 1, 1);
+    log_plus_equals(tbtot, tb.init[1] + tb.lins[x[0] * 2 + 0]
+                    + M(bx1.data(), 1, 0));
+    log_plus_equals(tbtot, tb.init[2] + tb.lins[y[0] * 2 + 0]
+                    + M(by1.data(), 0, 1));
+    log_plus_equals(tbtot, tb.init[3] + tb.lins[x[0] * 2 + 1]
+                    + M(bx2.data(), 1, 0));
+    log_plus_equals(tbtot, tb.init[4] + tb.lins[y[0] * 2 + 1]
+                    + M(by2.data(), 0, 1));
+    *total = 0.5f * (tf + tbtot);
+}
+
+// ------------------------------------------------------------------ local
+// 3-state local model in odds space (flanking random states); mirror of
+// ops/qpx.local_posterior_qpx (ProbabilisticModel.h flag=false).
+
+struct LocalTables {
+    const float *trans;   // (3,3)
+    const float *lmatch;  // (21,21)
+    const float *lins;    // (21,)
+    float log_stay;       // random_transProb[1]
+};
+
+void local_fb(const int8_t *x, const int8_t *y, int lx, int ly,
+              const LocalTables &tb, float *fM, float *bM,
+              float *total) {
+    const int W = ly + 1;
+    const size_t plane = (size_t)(lx + 1) * W;
+    const float rt1 = tb.log_stay;
+    auto T3 = [&](int a, int b) { return tb.trans[a * 3 + b]; };
+    auto emx = [&](int i, int j) {  // em'(i, j), 1-indexed residues
+        const int xc = x[i - 1], yc = y[j - 1];
+        return tb.lmatch[xc * 21 + yc] - tb.lins[xc] - tb.lins[yc]
+               - 2.0f * rt1;
+    };
+    std::vector<float> fx(plane, LOG_ZERO_F), fy(plane, LOG_ZERO_F);
+    auto M = [&](float *p, int i, int j) -> float & {
+        return p[(size_t)i * W + j];
+    };
+    for (size_t k = 0; k < plane; ++k) fM[k] = LOG_ZERO_F;
+
+    for (int i = 0; i <= lx; ++i) {
+        for (int j = 0; j <= ly; ++j) {
+            if (i >= 1 && j >= 1) {
+                const float em = emx(i, j);
+                float acc = em;      // start anywhere (odds 1)
+                if (M(fM, i - 1, j - 1) != LOG_ZERO_F)
+                    log_plus_equals(
+                        acc, em + M(fM, i - 1, j - 1) + T3(0, 0));
+                if (M(fx.data(), i - 1, j - 1) != LOG_ZERO_F)
+                    log_plus_equals(
+                        acc, em + M(fx.data(), i - 1, j - 1) + T3(1, 0));
+                if (M(fy.data(), i - 1, j - 1) != LOG_ZERO_F)
+                    log_plus_equals(
+                        acc, em + M(fy.data(), i - 1, j - 1) + T3(2, 0));
+                M(fM, i, j) = acc;
+            }
+            if (i >= 1) {
+                float a = LOG_ZERO_F;
+                if (M(fM, i - 1, j) != LOG_ZERO_F)
+                    a = M(fM, i - 1, j) + T3(0, 1) - rt1;
+                if (M(fx.data(), i - 1, j) != LOG_ZERO_F)
+                    log_plus_equals(
+                        a, M(fx.data(), i - 1, j) + T3(1, 1) - rt1);
+                M(fx.data(), i, j) = a;
+            }
+            if (j >= 1) {
+                float a = LOG_ZERO_F;
+                if (M(fM, i, j - 1) != LOG_ZERO_F)
+                    a = M(fM, i, j - 1) + T3(0, 2) - rt1;
+                if (M(fy.data(), i, j - 1) != LOG_ZERO_F)
+                    log_plus_equals(
+                        a, M(fy.data(), i, j - 1) + T3(2, 2) - rt1);
+                M(fy.data(), i, j) = a;
+            }
+        }
+    }
+    // exact stable LSE over interior cells (see qpx docstring)
+    double mx = -1e300;
+    for (int i = 1; i <= lx; ++i)
+        for (int j = 1; j <= ly; ++j)
+            if (M(fM, i, j) > mx) mx = M(fM, i, j);
+    double s = 0.0;
+    for (int i = 1; i <= lx; ++i)
+        for (int j = 1; j <= ly; ++j)
+            s += std::exp((double)M(fM, i, j) - mx);
+    const float total_f = (float)(mx + std::log(s));
+
+    std::vector<float> bx(plane, LOG_ZERO_F), by(plane, LOG_ZERO_F);
+    for (size_t k = 0; k < plane; ++k) bM[k] = LOG_ZERO_F;
+    for (int i = lx; i >= 0; --i) {
+        for (int j = ly; j >= 0; --j) {
+            float pxy = LOG_ZERO_F;
+            if (i < lx && j < ly && M(bM, i + 1, j + 1) != LOG_ZERO_F)
+                pxy = M(bM, i + 1, j + 1) + emx(i + 1, j + 1);
+            float b0 = 0.0f;  // LOG_ONE: end anywhere
+            if (pxy != LOG_ZERO_F)
+                log_plus_equals(b0, pxy + T3(0, 0));
+            if (i < lx && M(bx.data(), i + 1, j) != LOG_ZERO_F)
+                log_plus_equals(
+                    b0, M(bx.data(), i + 1, j) + T3(0, 1) - rt1);
+            if (j < ly && M(by.data(), i, j + 1) != LOG_ZERO_F)
+                log_plus_equals(
+                    b0, M(by.data(), i, j + 1) + T3(0, 2) - rt1);
+            M(bM, i, j) = b0;
+            float vx = pxy == LOG_ZERO_F ? LOG_ZERO_F : pxy + T3(1, 0);
+            if (i < lx && M(bx.data(), i + 1, j) != LOG_ZERO_F)
+                log_plus_equals(
+                    vx, M(bx.data(), i + 1, j) + T3(1, 1) - rt1);
+            M(bx.data(), i, j) = vx;
+            float vy = pxy == LOG_ZERO_F ? LOG_ZERO_F : pxy + T3(2, 0);
+            if (j < ly && M(by.data(), i, j + 1) != LOG_ZERO_F)
+                log_plus_equals(
+                    vy, M(by.data(), i, j + 1) + T3(2, 2) - rt1);
+            M(by.data(), i, j) = vy;
+        }
+    }
+    mx = -1e300;
+    for (int i = 1; i <= lx; ++i)
+        for (int j = 1; j <= ly; ++j) {
+            const double t = (double)M(bM, i, j) + emx(i, j);
+            if (t > mx) mx = t;
+        }
+    s = 0.0;
+    for (int i = 1; i <= lx; ++i)
+        for (int j = 1; j <= ly; ++j)
+            s += std::exp((double)M(bM, i, j) + emx(i, j) - mx);
+    const float total_b = (float)(mx + std::log(s));
+    *total = 0.5f * (total_f + total_b);
+}
+
+// -------------------------------------------------------------- partition
+// Probalign partition function in PROBABILITY space (the reference
+// computes long double, MSAPartProbs.cpp:400-660; QuickProbs double
+// with useDoublePartition=true).  Free terminal gaps.  Writes the
+// forward Zm plane; the caller runs it twice (reversed sequences) and
+// combines p = Zm_f * Zm_r / (score * Z)  (revers_partf role).
+
+struct PartTables {
+    const float *lscore;  // (21,21) log (= beta * score matrix)
+    float lgo, lge;       // log gap open / extend
+};
+
+typedef long double pfloat;  // MSAPartProbs.cpp computes long double
+
+void partition_forward(const int8_t *x, const int8_t *y, int lx, int ly,
+                       const PartTables &tb, pfloat *zm, pfloat *ztot) {
+    const int W = ly + 1;
+    const pfloat go = expl((pfloat)tb.lgo);
+    const pfloat ge = expl((pfloat)tb.lge);
+    std::vector<pfloat> ze_p(W), zf_p(W), ze(W), zf(W), zm_p(W);
+    auto M = [&](pfloat *p, int i, int j) -> pfloat & {
+        return p[(size_t)i * W + j];
+    };
+    // row 0: zm(0,0)=1; ze(0,j>=1)=1 (free leading gap in x); zf=0
+    for (int j = 0; j <= ly; ++j) {
+        M(zm, 0, j) = j == 0 ? 1.0 : 0.0;
+        ze_p[j] = j >= 1 ? 1.0 : 0.0;
+        zf_p[j] = 0.0;
+        zm_p[j] = M(zm, 0, j);
+    }
+    for (int i = 1; i <= lx; ++i) {
+        const bool at_end = i == lx;
+        const int xc = x[i - 1];
+        for (int j = 0; j <= ly; ++j) {
+            // Zf consumes x: free at j==0 / j==ly (terminal gap in y)
+            const pfloat gof = (j == 0 || j == ly) ? 1.0 : go;
+            const pfloat gef = (j == 0 || j == ly) ? 1.0 : ge;
+            zf[j] = zm_p[j] * gof + zf_p[j] * gef;
+            if (j == 0) zf[j] = 1.0;  // free leading gap in y
+            // Zm from any state at (i-1, j-1)
+            if (j >= 1) {
+                const int yc = y[j - 1];
+                const pfloat sc =
+                    expl((pfloat)tb.lscore[xc * 21 + yc]);
+                M(zm, i, j) =
+                    sc * (zm_p[j - 1] + ze_p[j - 1] + zf_p[j - 1]);
+            } else {
+                M(zm, i, j) = 0.0;
+            }
+            // Ze consumes y: within-row; free when x exhausted
+            const pfloat goe = at_end ? 1.0 : go;
+            const pfloat gee = at_end ? 1.0 : ge;
+            ze[j] = j == 0 ? 0.0
+                           : M(zm, i, j - 1) * goe + ze[j - 1] * gee;
+        }
+        std::swap(ze_p, ze);
+        std::swap(zf_p, zf);
+        for (int j = 0; j <= ly; ++j) zm_p[j] = M(zm, i, j);
+    }
+    *ztot = M(zm, lx, ly) + ze_p[ly] + zf_p[ly];
+}
+
+void partition_posterior_native(const int8_t *x, const int8_t *y,
+                                int lx, int ly, const PartTables &tb,
+                                bool window, float *post /*(lx+1)*(ly+1)*/) {
+    const int W = ly + 1;
+    const size_t plane = (size_t)(lx + 1) * W;
+    std::vector<pfloat> zf(plane), zr(plane);
+    pfloat ztot, zdummy;
+    partition_forward(x, y, lx, ly, tb, zf.data(), &ztot);
+    std::vector<int8_t> xr(lx), yr(ly);
+    for (int i = 0; i < lx; ++i) xr[i] = x[lx - 1 - i];
+    for (int j = 0; j < ly; ++j) yr[j] = y[ly - 1 - j];
+    partition_forward(xr.data(), yr.data(), lx, ly, tb, zr.data(),
+                      &zdummy);
+    for (size_t k = 0; k < plane; ++k) post[k] = 0.0f;
+    for (int i = 1; i <= lx; ++i) {
+        for (int j = 1; j <= ly; ++j) {
+            const pfloat sc = expl(
+                (pfloat)tb.lscore[x[i - 1] * 21 + y[j - 1]]);
+            pfloat p = zf[(size_t)i * W + j]
+                       * zr[(size_t)(lx - i + 1) * W + (ly - j + 1)]
+                       / (sc * ztot);
+            if (p > 1.0) p = 1.0;
+            if (window && (p < 0.001 || p > 1.0)) p = 0.0;
+            post[(size_t)i * W + j] = (float)p;
+        }
+    }
+}
+
+// ------------------------------------------------------------------ MWT
+// Maximum-expected-accuracy DP over a 0-indexed-interior posterior
+// plane laid out (lx+1)*(ly+1) with p(i, j) at [i*W + j] (1-indexed).
+// ChooseBestOfThree tie order: diagonal >= left >= up
+// (ProbabilisticModel.h:804-864, ScoreType.h:347-366).
+
+float mwt_fill(const float *post, int lx, int ly, int8_t *dirs) {
+    const int W = ly + 1;
+    std::vector<float> s_prev(W, 0.0f), s(W);
+    for (int j = 0; j <= ly; ++j) dirs[j] = 1;  // row 0: left
+    for (int i = 1; i <= lx; ++i) {
+        s[0] = 0.0f;
+        dirs[(size_t)i * W] = 2;                // column 0: up
+        for (int j = 1; j <= ly; ++j) {
+            const float pd = post[(size_t)i * W + j] + s_prev[j - 1];
+            const float left = s[j - 1];
+            const float up = s_prev[j];
+            if (pd >= left && pd >= up) {
+                s[j] = pd;
+                dirs[(size_t)i * W + j] = 0;
+            } else if (left >= up) {
+                s[j] = left;
+                dirs[(size_t)i * W + j] = 1;
+            } else {
+                s[j] = up;
+                dirs[(size_t)i * W + j] = 2;
+            }
+        }
+        std::swap(s_prev, s);
+    }
+    return s_prev[ly];
+}
+
+}  // namespace
 
 extern "C" {
 
@@ -299,6 +810,346 @@ void profile_posterior(
         const double* A = acc[t].data();
         for (size_t k = 0; k < plane; ++k) out[k] += (float)A[k];
     }
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// All-pairs posterior stage (native host engine).
+//
+// The TPU-free twin of align/pairwise.all_pairs_posteriors: per pair,
+// compute the mode's posterior models, RMS-combine, run the MWT accuracy
+// DP (score + aligned-pair count), and sparsify at `cutoff` into CSR.
+// This is the engine the router picks for families whose total DP work
+// is below the device's dispatch+readback latency (a tunneled chip costs
+// ~0.25 s per sync; a 5-sequence family's whole posterior stage is
+// ~1e7 cell updates), and the recovery engine when the device allocator
+// is poisoned (driver._fallback_align).  Roles: PosteriorStage.cpp:94-196
+// and MSA.cpp:895-1013, OpenMP schedule(dynamic) over pairs like both.
+//
+// modes: 0=mix (hmm5+partition+local, /3), 1=local, 2=partition,
+//        3=qp (hmm5 + partition with the [0.001, 1] window, /2).
+// Results live in a static store between _run and _export (single
+// Python caller; guarded by a mutex for safety).
+
+namespace {
+
+struct CsrResult {
+    std::vector<int32_t> indptr;
+    std::vector<int32_t> indices;
+    std::vector<float> data;
+};
+
+std::mutex g_post_mutex;
+std::vector<CsrResult> g_post_results;
+
+}  // namespace
+
+extern "C" {
+
+int64_t posterior_family_run(
+    int n_seqs,
+    const int8_t *seq_pool, const int64_t *seq_off,  // (n_seqs+1,)
+    int n_pairs, const int32_t *pair_ij,             // (n_pairs, 2)
+    int mode,
+    // hmm5 tables (f32 log)
+    const float *h5_init, const float *h5_trans,
+    const float *h5_lmatch, const float *h5_lins,
+    // local tables
+    const float *lo_trans, const float *lo_lmatch,
+    const float *lo_lins, float lo_log_stay,
+    // partition tables
+    const float *pt_lscore, float pt_lgo, float pt_lge,
+    float cutoff,
+    // outputs per pair
+    float *scores, int32_t *matches, int64_t *nnz_out
+) {
+    std::lock_guard<std::mutex> lock(g_post_mutex);
+    g_post_results.assign(n_pairs, CsrResult());
+    Hmm5Tables h5{h5_init, h5_trans, h5_lmatch, h5_lins};
+    LocalTables lo{lo_trans, lo_lmatch, lo_lins, lo_log_stay};
+    PartTables pt{pt_lscore, pt_lgo, pt_lge};
+
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic)
+#endif
+    for (int p = 0; p < n_pairs; ++p) {
+        const int i = pair_ij[2 * p], j = pair_ij[2 * p + 1];
+        const int8_t *sx = seq_pool + seq_off[i];
+        const int8_t *sy = seq_pool + seq_off[j];
+        const int lx = (int)(seq_off[i + 1] - seq_off[i]);
+        const int ly = (int)(seq_off[j + 1] - seq_off[j]);
+        const int W = ly + 1;
+        const size_t plane = (size_t)(lx + 1) * W;
+        std::vector<float> post(plane, 0.0f);
+        int n_models = 0;
+
+        auto rms_add = [&](const float *q) {
+            for (size_t k = 0; k < plane; ++k) post[k] += q[k] * q[k];
+            ++n_models;
+        };
+
+        if (mode == 0 || mode == 3) {           // hmm5
+            std::vector<float> fM(plane), bM(plane), pm(plane);
+            float total;
+            hmm5_fb(sx, sy, lx, ly, h5, fM.data(), bM.data(), &total);
+            const float tot = total == 0.0f ? 1.0f : total;
+            for (int a = 1; a <= lx; ++a)
+                for (int b = 1; b <= ly; ++b) {
+                    const size_t k = (size_t)a * W + b;
+                    float v = fM[k] + bM[k] - tot;
+                    pm[k] = exp_ref(v < 0.0f ? v : 0.0f);
+                }
+            rms_add(pm.data());
+        }
+        if (mode == 0 || mode == 1) {           // local
+            std::vector<float> fM(plane), bM(plane), pm(plane, 0.0f);
+            float total;
+            local_fb(sx, sy, lx, ly, lo, fM.data(), bM.data(), &total);
+            const float tot = total == 0.0f ? 1.0f : total;
+            for (int a = 1; a <= lx; ++a)
+                for (int b = 1; b <= ly; ++b) {
+                    const size_t k = (size_t)a * W + b;
+                    float v = fM[k] + bM[k] - tot;
+                    pm[k] = exp_ref(v < 0.0f ? v : 0.0f);
+                }
+            rms_add(pm.data());
+        }
+        if (mode == 0 || mode == 2 || mode == 3) {  // partition
+            std::vector<float> pm(plane);
+            partition_posterior_native(sx, sy, lx, ly, pt, mode == 3,
+                                       pm.data());
+            rms_add(pm.data());
+        }
+        if (n_models > 1) {
+            const float inv = 1.0f / (float)n_models;
+            for (size_t k = 0; k < plane; ++k)
+                post[k] = std::sqrt(post[k] * inv);
+        } else {
+            for (size_t k = 0; k < plane; ++k)
+                post[k] = std::sqrt(post[k]);
+        }
+
+        // MWT accuracy DP + aligned-pair count via traceback
+        std::vector<int8_t> dirs(plane);
+        scores[p] = mwt_fill(post.data(), lx, ly, dirs.data());
+        if (matches) {
+            int r = lx, c = ly, nb = 0;
+            while (r != 0 || c != 0) {
+                const int8_t d = dirs[(size_t)r * W + c];
+                if (d == 0) { --r; --c; ++nb; }
+                else if (d == 1) { --c; }
+                else { --r; }
+            }
+            matches[p] = nb;
+        }
+
+        // sparsify (cutoff keeps every entry >= 0.01 like
+        // SparseMatrix.h:14 — no top-k truncation on the host engine)
+        CsrResult &res = g_post_results[p];
+        res.indptr.resize(lx + 1);
+        for (int a = 1; a <= lx; ++a) {
+            res.indptr[a - 1] = (int32_t)res.indices.size();
+            const float *row = post.data() + (size_t)a * W;
+            for (int b = 1; b <= ly; ++b) {
+                if (row[b] >= cutoff) {
+                    res.indices.push_back(b - 1);
+                    res.data.push_back(row[b]);
+                }
+            }
+        }
+        res.indptr[lx] = (int32_t)res.indices.size();
+        nnz_out[p] = (int64_t)res.data.size();
+    }
+    int64_t total_nnz = 0;
+    for (int p = 0; p < n_pairs; ++p)
+        total_nnz += (int64_t)g_post_results[p].data.size();
+    return total_nnz;
+}
+
+// Copy the stored CSRs out.  indptr_pool must hold sum(lx_p + 1),
+// indices/data pools the total nnz returned by _run; per-pair offsets
+// are the caller's to reconstruct from nnz_out and pair lengths.
+void posterior_family_export(int32_t *indptr_pool, int32_t *indices_pool,
+                             float *data_pool) {
+    std::lock_guard<std::mutex> lock(g_post_mutex);
+    size_t po = 0, dof = 0;
+    for (const CsrResult &r : g_post_results) {
+        std::memcpy(indptr_pool + po, r.indptr.data(),
+                    r.indptr.size() * sizeof(int32_t));
+        std::memcpy(indices_pool + dof, r.indices.data(),
+                    r.indices.size() * sizeof(int32_t));
+        std::memcpy(data_pool + dof, r.data.data(),
+                    r.data.size() * sizeof(float));
+        po += r.indptr.size();
+        dof += r.data.size();
+    }
+    g_post_results.clear();
+}
+
+// ---------------------------------------------------------------------------
+// Local-model Viterbi feature pass, fully native.
+//
+// The -G / ModelAdjustmentTest engine (MSA.cpp:646-882,
+// ProbabilisticModel.h:1043+): per pair, fill the 3-state local Viterbi
+// DP (f32, tie order M >= X >= Y), traceback, and aggregate PID /
+// column-profile / SP statistics.  OpenMP over pairs with per-thread
+// column accumulators reduced at the end.  vinit: the fixed Viterbi
+// initial distribution (ProbabilisticModel.h:1075-1077).
+
+int viterbi_family_features(
+    int n_seqs, const int8_t *seq_pool, const int64_t *seq_off,
+    int n_pairs, const int32_t *pair_ij,
+    const float *lo_trans,    // (3,3) log
+    const float *lo_lmatch,   // (21,21)
+    const float *lo_lins,     // (21,)
+    const float *vinit,       // (3,)
+    const double *blosum,     // (21*21)
+    double *pids,             // out (n_pairs,)
+    int32_t *path_lens,       // out (n_pairs,)
+    double *col_acc,          // out (cap,)
+    int col_cap,
+    double *sp_out            // out [sp_sum, sp_cols]
+) {
+    auto T3 = [&](int a, int b) { return lo_trans[a * 3 + b]; };
+    int max_len_all = 0;
+    double sp_sum_all = 0.0;
+    long long sp_cols_all = 0;
+
+#ifdef _OPENMP
+    const int nthreads = omp_get_max_threads();
+#else
+    const int nthreads = 1;
+#endif
+    std::vector<std::vector<double>> col_tls(
+        nthreads, std::vector<double>((size_t)col_cap, 0.0));
+
+#ifdef _OPENMP
+#pragma omp parallel reduction(max : max_len_all) \
+    reduction(+ : sp_sum_all, sp_cols_all)
+#endif
+    {
+#ifdef _OPENMP
+        double *cacc = col_tls[omp_get_thread_num()].data();
+#else
+        double *cacc = col_tls[0].data();
+#endif
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic)
+#endif
+        for (int p = 0; p < n_pairs; ++p) {
+            const int i = pair_ij[2 * p], j = pair_ij[2 * p + 1];
+            const int8_t *sx = seq_pool + seq_off[i];
+            const int8_t *sy = seq_pool + seq_off[j];
+            const int lx = (int)(seq_off[i + 1] - seq_off[i]);
+            const int ly = (int)(seq_off[j + 1] - seq_off[j]);
+            const int W = ly + 1;
+            std::vector<int8_t> dirs((size_t)(lx + 1) * W);
+            std::vector<float> Mp(W), Xp(W), Yp(W), Mc(W), Xc(W), Yc(W);
+            // row 0
+            Mp[0] = vinit[0]; Xp[0] = vinit[1]; Yp[0] = vinit[2];
+            dirs[0] = 0;
+            for (int b = 1; b <= ly; ++b) {
+                Mp[b] = LOG_ZERO_F;
+                Xp[b] = LOG_ZERO_F;
+                const float liy = lo_lins[sy[b - 1]];
+                const float cm = Mp[b - 1] + T3(0, 2);
+                const float cy = Yp[b - 1] + T3(2, 2);
+                const bool from_y = cm < cy;
+                Yp[b] = liy + (from_y ? cy : cm);
+                dirs[b] = (int8_t)(from_y ? 8 : 0);
+            }
+            for (int a = 1; a <= lx; ++a) {
+                const float lix = lo_lins[sx[a - 1]];
+                Mc[0] = LOG_ZERO_F;
+                Yc[0] = LOG_ZERO_F;
+                {
+                    const float fm = Mp[0] + T3(0, 1);
+                    const float fx = Xp[0] + T3(1, 1);
+                    const bool from_x = fm < fx;
+                    Xc[0] = lix + (from_x ? fx : fm);
+                    dirs[(size_t)a * W] = (int8_t)(from_x ? 4 : 0);
+                }
+                for (int b = 1; b <= ly; ++b) {
+                    // M: diagonal, tie order M > X > Y
+                    const float cm = Mp[b - 1] + T3(0, 0);
+                    const float cx = Xp[b - 1] + T3(1, 0);
+                    const float cy = Yp[b - 1] + T3(2, 0);
+                    int tbm;
+                    float best;
+                    if (cm >= cx && cm >= cy) { best = cm; tbm = 0; }
+                    else if (cx >= cy) { best = cx; tbm = 1; }
+                    else { best = cy; tbm = 2; }
+                    Mc[b] = lo_lmatch[sx[a - 1] * 21 + sy[b - 1]] + best;
+                    // X: vertical, prefer M on ties
+                    const float fm = Mp[b] + T3(0, 1);
+                    const float fx = Xp[b] + T3(1, 1);
+                    const bool from_x = fm < fx;
+                    Xc[b] = lix + (from_x ? fx : fm);
+                    // Y: horizontal within-row, prefer M on ties
+                    const float liy = lo_lins[sy[b - 1]];
+                    const float gm = Mc[b - 1] + T3(0, 2);
+                    const float gy = Yc[b - 1] + T3(2, 2);
+                    const bool from_y = gm < gy;
+                    Yc[b] = liy + (from_y ? gy : gm);
+                    dirs[(size_t)a * W + b] =
+                        (int8_t)(tbm + (from_x ? 4 : 0) + (from_y ? 8 : 0));
+                }
+                std::swap(Mp, Mc);
+                std::swap(Xp, Xc);
+                std::swap(Yp, Yc);
+            }
+            const float fm = Mp[ly] + vinit[0];
+            const float fx = Xp[ly] + vinit[1];
+            const float fy = Yp[ly] + vinit[2];
+            int state;
+            if (fm >= fx && fm >= fy) state = 0;
+            else if (fx >= fy) state = 1;
+            else state = 2;
+
+            // traceback + feature aggregation (forward order)
+            std::vector<int8_t> path((size_t)lx + ly + 2);
+            const int n = viterbi_traceback(dirs.data(), W, lx, ly,
+                                            state, path.data());
+            if (n > max_len_all) max_len_all = n;
+            int a2 = 0, b2 = 0, match_cnt = 0;
+            for (int t = 0; t < n; ++t) {
+                if (path[t] == 0) {
+                    const int ca = sx[a2++], cb = sy[b2++];
+                    if (ca == cb) ++match_cnt;
+                    if (ca < 20 && cb < 20) {
+                        const double sc = blosum[ca * 21 + cb];
+                        if (sc < 10.0 && t < col_cap) {
+                            cacc[t] += sc;
+                            sp_sum_all += sc;
+                        }
+                    }
+                } else if (path[t] == 1) ++a2;
+                else ++b2;
+            }
+            sp_cols_all += n;
+            pids[p] = n > 0 ? (double)match_cnt / n : 0.0;
+            path_lens[p] = n;
+        }
+    }
+    for (int t = 0; t < nthreads; ++t)
+        for (int k = 0; k < col_cap; ++k) col_acc[k] += col_tls[t][k];
+    sp_out[0] = sp_sum_all;
+    sp_out[1] = (double)sp_cols_all;
+    return max_len_all;
+}
+
+// Dense MWT fill for the progressive/refinement profile DP
+// (ProbabilisticModel.h:804-864 ComputeAlignment role).  post is the
+// 0-based (lx, ly) plane; dirs is (lx+1)*(ly+1).  Returns the score.
+float mwt_fill_dense(const float *post, int lx, int ly, int8_t *dirs) {
+    // re-layout into the 1-indexed plane convention of mwt_fill
+    const int W = ly + 1;
+    std::vector<float> plane((size_t)(lx + 1) * W, 0.0f);
+    for (int i = 1; i <= lx; ++i)
+        std::memcpy(plane.data() + (size_t)i * W + 1,
+                    post + (size_t)(i - 1) * ly, ly * sizeof(float));
+    return mwt_fill(plane.data(), lx, ly, dirs);
 }
 
 }  // extern "C"

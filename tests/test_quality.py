@@ -1,4 +1,6 @@
 """Tests for SP/TC scoring, dense-device consistency and aux tools."""
+import os
+
 import numpy as np
 import scipy.sparse as sp
 
@@ -84,7 +86,13 @@ def test_device_posterior_tensor_consistency_end_to_end():
 
     fam = "/root/reference/TEST/sabre/in/sup_387"
     seqs = [degap(encode(s)) for _, s in read_fasta(fam)][:4]
-    tensor = pairwise.device_posterior_tensor(seqs, "mix", 0.170705)
+    # pin the device path: small families route to the native host
+    # engine by default, but this test exercises the tensor machinery
+    os.environ["MLPROBS_NATIVE_ROUTE"] = "0"
+    try:
+        tensor = pairwise.device_posterior_tensor(seqs, "mix", 0.170705)
+    finally:
+        os.environ.pop("MLPROBS_NATIVE_ROUTE", None)
     assert tensor is not None
     # oracle: CSRs from the same dense tensor, relaxed on host
     lens = [len(s) for s in seqs]

@@ -6,20 +6,33 @@ Runs the full pipeline on families from the reference benchmark suites
 golden MSAs (output4evaluation/<suite>/<family>) with SP/TC, and writes
 an incremental, resumable JSON report (QUALITY_r{N}.json).
 
+Process model (script.py:31-69 harness role, adapted to the tunneled
+chip): a SUPERVISOR keeps a long-lived WORKER process aligned family
+after family — one process amortises the tunnel's first-transfer setup
+(minutes, paid per process) and the per-shape executable loads across
+the whole suite.  If the worker dies (OOM-wedged runtime, SIGKILL), the
+supervisor records the in-flight family, restarts the worker, and
+re-queues that family once — first on the device again, then on the
+host engines (MLPROBS_FORCE_HOST=1) — so every family produces either
+an MSA record or an explicit error entry; the run never silently stops
+(the round-4 campaign lost 92 families to one OOM cascade).
+
 Family selection per suite: the BASELINE_CPU.json stratified sample
 (direct wall-clock comparison against the measured reference pipeline on
 this host) plus the first --extra alphabetical families for quality
-coverage (the reference's own harness model, script.py:31-69).
+coverage.
 
 Usage:
-    python tools/quality_campaign.py --out QUALITY_r04.json \
+    python tools/quality_campaign.py --out QUALITY_r05.json \
         [--suites bali3,ox,oxx,sabre] [--extra 50] [--timeout 900]
 """
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import signal
+import subprocess
 import sys
 import time
 import traceback
@@ -49,7 +62,14 @@ def run_family(path: Path, golden: Path | None, timeout: int) -> dict:
         if timeout:
             signal.signal(signal.SIGALRM, _alarm)
             signal.alarm(timeout)
-        out, rep = run_pipeline(records)
+        if os.environ.get("MLPROBS_FORCE_HOST") == "1":
+            from mlprobs_tpu.align.aligner import host_engines
+
+            with host_engines():
+                out, rep = run_pipeline(records)
+            rec["forced_host"] = True
+        else:
+            out, rep = run_pipeline(records)
     except TimeoutError as e:
         rec["seconds"] = time.time() - t0
         rec["error"] = str(e)
@@ -99,37 +119,57 @@ def select_families(suite: str, extra: int) -> list[str]:
     return out
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="QUALITY_r04.json")
-    ap.add_argument("--suites", default="sabre,ox,bali3,oxx")
-    ap.add_argument("--extra", type=int, default=50)
-    ap.add_argument("--timeout", type=int, default=900)
-    args = ap.parse_args()
-
-    outp = Path(args.out)
-    state: dict = {"suites": {}}
+def _load_state(outp: Path) -> dict:
     if outp.exists():
-        state = json.loads(outp.read_text())
-    done = {
+        return json.loads(outp.read_text())
+    return {"suites": {}}
+
+
+def _done_set(state: dict) -> set:
+    return {
         (s, f["family"])
         for s, sd in state["suites"].items()
         for f in sd.get("families", [])
     }
+
+
+def worker_main(args) -> int:
+    """Long-lived aligner loop: one process for the whole family list."""
+    outp = Path(args.out)
+    marker = Path(args.out + ".inflight")
+    state = _load_state(outp)
+    done = _done_set(state)
+
+    # Pay the tunnel's first-transfer setup before the first family so
+    # per-family seconds measure the pipeline, not the relay handshake.
+    t0 = time.time()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    np.asarray(jnp.zeros((8,)) + 1)
+    warm = time.time() - t0
+    state.setdefault("warmup_seconds", []).append(round(warm, 1))
+    print(f"[worker] tunnel warm-up: {warm:.1f}s", flush=True)
 
     for suite in args.suites.split(","):
         sd = state["suites"].setdefault(suite, {"families": []})
         for fam in select_families(suite, args.extra):
             if (suite, fam) in done:
                 continue
+            marker.write_text(json.dumps({"suite": suite, "family": fam,
+                                          "t": time.time()}))
             rec = run_family(
                 REF / "TEST" / suite / "in" / fam,
                 REF / "output4evaluation" / suite / fam,
                 args.timeout,
             )
+            if os.environ.get("MLPROBS_FORCE_HOST") == "1":
+                rec["forced_host"] = True
             sd["families"].append(rec)
             _summarise(state)
             outp.write_text(json.dumps(state, indent=1))
+            marker.unlink(missing_ok=True)
             print(f"{suite}/{fam}: {rec.get('seconds', 0):.1f}s "
                   f"sp={rec.get('sp')} tc={rec.get('tc')} "
                   f"err={rec.get('error', rec.get('pipeline_error'))}",
@@ -139,6 +179,66 @@ def main() -> int:
     print(json.dumps({s: sd.get("summary") for s, sd in
                       state["suites"].items()}, indent=1))
     return 0
+
+
+def supervise(args) -> int:
+    """Restart the worker across crashes; re-queue in-flight families."""
+    outp = Path(args.out)
+    marker = Path(args.out + ".inflight")
+    retried: dict[tuple[str, str], int] = {}
+    base_cmd = [sys.executable, __file__, "--worker",
+                "--out", args.out, "--suites", args.suites,
+                "--extra", str(args.extra),
+                "--timeout", str(args.timeout)]
+    for attempt in range(200):  # hard stop against restart storms
+        env = dict(os.environ)
+        inflight = None
+        if marker.exists():
+            inflight = json.loads(marker.read_text())
+            key = (inflight["suite"], inflight["family"])
+            n = retried.get(key, 0)
+            retried[key] = n + 1
+            if n >= 2:
+                # two crashes (device + host attempt): record the error
+                # so the campaign moves on with an explicit entry
+                state = _load_state(outp)
+                sd = state["suites"].setdefault(
+                    inflight["suite"], {"families": []})
+                sd["families"].append({
+                    "family": inflight["family"],
+                    "error": "worker crashed twice (device + host)",
+                })
+                _summarise(state)
+                outp.write_text(json.dumps(state, indent=1))
+                marker.unlink(missing_ok=True)
+            elif n == 1:
+                # second attempt for this family: host engines only
+                env["MLPROBS_FORCE_HOST"] = "1"
+                print(f"[supervisor] retrying {key} on host engines",
+                      flush=True)
+        proc = subprocess.run(base_cmd, env=env)
+        if proc.returncode == 0:
+            return 0
+        print(f"[supervisor] worker died (rc={proc.returncode}); "
+              f"inflight={inflight}", flush=True)
+        time.sleep(2)
+    return 1
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="QUALITY_r05.json")
+    ap.add_argument("--suites", default="sabre,ox,bali3,oxx")
+    ap.add_argument("--extra", type=int, default=50)
+    ap.add_argument("--timeout", type=int, default=900)
+    ap.add_argument("--worker", action="store_true",
+                    help="internal: run the aligner loop in-process")
+    ap.add_argument("--no-isolate", action="store_true",
+                    help="run the worker loop directly (no supervisor)")
+    args = ap.parse_args()
+    if args.worker or args.no_isolate:
+        return worker_main(args)
+    return supervise(args)
 
 
 def _summarise(state: dict) -> None:
@@ -151,11 +251,12 @@ def _summarise(state: dict) -> None:
         fams = sd.get("families", [])
         scored = [f for f in fams if "sp" in f]
         ok = [f for f in fams if "seconds" in f and "error" not in f]
+        secs = sorted(f["seconds"] for f in ok)
         summ = {
             "families": len(fams),
             "errors": sum(1 for f in fams if "error" in f),
-            "mean_sec": (sum(f["seconds"] for f in ok) / len(ok)
-                         if ok else None),
+            "mean_sec": (sum(secs) / len(secs) if secs else None),
+            "median_sec": (secs[len(secs) // 2] if secs else None),
             "mean_sp": (sum(f["sp"] for f in scored) / len(scored)
                         if scored else None),
             "mean_tc": (sum(f["tc"] for f in scored) / len(scored)
