@@ -1,83 +1,89 @@
 #!/usr/bin/env python
-"""Benchmark: posterior-DP throughput of the flagship compute path.
+"""Benchmark: end-to-end pipeline wall-clock vs the CPU reference.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Measures the production posterior stage (mix mode: 5-state HMM +
-partition function + local HMM, forward+reverse wavefront scans, RMS
-combine, MWT accuracy DP with match counts, per-diagonal top-k
-sparsification) on the real chip — the inner loop that dominates
-MLProbs runtime.  One "cell update" = one (i, j) DP cell of the
-combined posterior plane (L^2 per pair), the same unit the reference's
-OpenMP/OpenCL loops fill (SURVEY §6).
+Runs the FULL MLProbs pipeline (feature pass, classifiers, base MSA,
+column scores, region realign, recombination) on a fixed stratified
+sample of benchmark families and compares total wall-clock against the
+reference pipeline's measured per-family times on this host
+(BASELINE_CPU.json, reference binaries driven by
+tools/measure_baseline.py).  This is the metric that matters:
+`vs_baseline` is the realised speedup of the whole system, not a
+kernel microbenchmark.
 
-vs_baseline compares against the reference's MEASURED posterior fill
-rate on this host: the prebuilt quickprobs binary timed on
-posterior-dominated synthetic families (tools/measure_baseline.py
-posterior_fill; results in BASELINE_CPU.json).  Measured 2026-08-19:
-1.21e7 cells/s (2-core host, both cores).
+The device warm-up (first transfer through the tunneled-chip relay
+costs minutes and is paid once per process, like a pool claim) happens
+before timing starts — the same amortisation the quality campaign
+uses (one worker process for the whole suite run).
 """
 from __future__ import annotations
 
 import json
 import os
 import time
+from pathlib import Path
 
-import numpy as np
+REF = Path("/root/reference/TEST")
 
-REFERENCE_CELLS_PER_SEC = 1.21e7  # measured (BASELINE_CPU.json)
-
-
-def _measured_baseline() -> float:
-    """Prefer the measured rate from BASELINE_CPU.json when present."""
-    try:
-        path = os.path.join(os.path.dirname(__file__), "BASELINE_CPU.json")
-        with open(path) as f:
-            return float(json.load(f)["posterior_fill"]["cells_per_sec"])
-    except Exception:
-        return REFERENCE_CELLS_PER_SEC
+# Stratified sample from BASELINE_CPU.json: small/mid families of all
+# four suites plus one large oxx crowd.  Monsters (BB30003: 676 s CPU)
+# are excluded to keep the bench under ~5 min; the campaign covers them.
+FAMILIES = [
+    ("sabre", "sup_387"),
+    ("sabre", "sup_058"),
+    ("sabre", "sup_182"),
+    ("ox", "12t110"),
+    ("ox", "___437"),
+    ("bali3", "BB11012"),
+    ("bali3", "BB12026"),
+    ("bali3", "BBS20026"),
+    ("oxx", "____46"),
+    ("oxx", "___121"),
+]
 
 
 def main() -> None:
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     import mlprobs_tpu  # noqa: F401  (enables the compile cache)
-    from mlprobs_tpu.align import pairwise
+    from mlprobs_tpu.core.fasta import read_fasta
+    from mlprobs_tpu.pipeline.driver import run_pipeline
 
-    b, lp = 512, 512
-    models = pairwise._MODE_MODELS["mix"]
-    fn = pairwise._wf_fn(models, True)
-    tabs_f, tabs_r = pairwise._wf_tables("mix", 0.170705)
-    rng = np.random.default_rng(0)
-    X = jnp.asarray(rng.integers(0, 20, (b, lp)), jnp.int8)
-    Y = jnp.asarray(rng.integers(0, 20, (b, lp)), jnp.int8)
-    LX = jnp.full((b,), lp, jnp.int32)
-    LY = jnp.full((b,), lp, jnp.int32)
+    # pay the tunnel warm-up before the clock starts
+    np.asarray(jnp.zeros((8,)) + 1)
 
-    def run():
-        out = fn(X, Y, LX, LY, tabs_f, tabs_r)
-        jax.block_until_ready(out)
-        # force completion through the async RPC transport
-        return np.asarray(out[2])[:2]
+    base = json.load(
+        open(os.path.join(os.path.dirname(__file__), "BASELINE_CPU.json"))
+    )
+    ref_secs = {
+        (s, f["family"]): float(f["seconds"])
+        for s, sd in base["suites"].items()
+        for f in sd["families"]
+    }
 
-    run()  # warm up / compile
-    iters = 5
-    t0 = time.time()
-    for _ in range(iters):
-        run()
-    dt = (time.time() - t0) / iters
+    ours_total = 0.0
+    ref_total = 0.0
+    per_family = {}
+    for suite, fam in FAMILIES:
+        records = read_fasta(REF / suite / "in" / fam)
+        t0 = time.time()
+        out, rep = run_pipeline(records)
+        dt = time.time() - t0
+        ours_total += dt
+        ref_total += ref_secs[(suite, fam)]
+        per_family[f"{suite}/{fam}"] = round(dt, 2)
 
-    cells = b * lp * lp
-    rate = cells / dt
     print(
         json.dumps(
             {
-                "metric": "posterior_dp_cell_updates_per_sec",
-                "value": rate,
-                "unit": "cells/s",
-                "vs_baseline": rate / _measured_baseline(),
+                "metric": "pipeline_sample_wall_clock",
+                "value": round(ours_total, 2),
+                "unit": "s (10 families)",
+                "vs_baseline": round(ref_total / ours_total, 3),
             }
         )
     )

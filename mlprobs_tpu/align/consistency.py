@@ -242,6 +242,13 @@ def relax_sparse_weighted(
     below its threshold — the realign-block regime), enabling the fast
     single-block-product path.
     """
+    out = relax_native(
+        posts, lengths, reps=reps, cutoff=cutoff, weights=weights,
+        selfweight=selfweight, selectivity=selectivity,
+        distances=distances, seeds=seeds, final_cutoff=final_cutoff,
+    )
+    if out is not None:
+        return out
     if final_cutoff is not None and final_cutoff != cutoff and reps > 0:
         # numFilterings=-1: the last iteration re-sparsifies at 1e-5
         # (ConsistencyStage.cpp:230-259); run it as its own round
@@ -256,13 +263,6 @@ def relax_sparse_weighted(
             selectivity=selectivity, cutoff=final_cutoff,
             distances=distances, seeds=seeds,
         )
-    out = relax_native(
-        posts, lengths, reps=reps, cutoff=cutoff, weights=weights,
-        selfweight=selfweight, selectivity=selectivity,
-        distances=distances, seeds=seeds,
-    )
-    if out is not None:
-        return out
     n = len(lengths)
     offs = np.concatenate([[0], np.cumsum(lengths)])
     w = np.asarray(weights, dtype=np.float64)
@@ -394,38 +394,64 @@ def _pack_cells(
 ):
     """Flatten all ordered cells (i, j), i != j, into shared CSR pools.
 
-    Lower cells hold transposes.  Returns (cell_ptr, cell_dat,
-    indptr_pool, indices_pool, data_pool).
+    Lower cells hold transposes, built with numpy lexsort (scipy's
+    .T.tocsr() conversion dominated the packing profile).  Returns
+    (cell_ptr, cell_dat, indptr_pool, indices_pool, data_pool,
+    tperm_off, tperm_pool, pair_list): tperm maps each upper entry to
+    its index within the transpose cell's data (the native kernel
+    refreshes both orientations between rounds through it).
     """
     n = len(lengths)
-    cells: dict[tuple[int, int], sp.csr_matrix] = {}
-    for (i, j), s in posts.items():
-        s32 = sp.csr_matrix(s, dtype=np.float32)
-        cells[(i, j)] = s32
-        cells[(j, i)] = s32.T.tocsr()
+    pair_list = sorted(posts.keys())
     cell_ptr = np.zeros(n * n, dtype=np.int64)
     cell_dat = np.zeros(n * n, dtype=np.int64)
     indptrs, indices, datas = [], [], []
+    tperms = []
+    tperm_off = np.zeros(len(pair_list), dtype=np.int64)
     po = 0
     do = 0
-    for i in range(n):
-        for j in range(n):
-            if i == j or (i, j) not in cells:
-                # unused cell: point at a shared empty indptr
-                continue
-            s = cells[(i, j)]
-            c = i * n + j
-            cell_ptr[c] = po
-            cell_dat[c] = do
-            indptrs.append(s.indptr.astype(np.int32))
-            indices.append(s.indices.astype(np.int32))
-            datas.append(s.data.astype(np.float32))
-            po += len(s.indptr)
-            do += len(s.data)
+
+    def put(i, j, indptr, index, data):
+        nonlocal po, do
+        c = i * n + j
+        cell_ptr[c] = po
+        cell_dat[c] = do
+        indptrs.append(indptr)
+        indices.append(index)
+        datas.append(data)
+        po += len(indptr)
+        do += len(data)
+
+    toff = 0
+    for p, (i, j) in enumerate(pair_list):
+        s = posts[(i, j)]
+        li, lj = s.shape
+        indptr = np.asarray(s.indptr, np.int32)
+        cols = np.asarray(s.indices, np.int32)
+        data = np.asarray(s.data, np.float32)
+        rows = np.repeat(
+            np.arange(li, dtype=np.int32), np.diff(indptr)
+        )
+        order = np.lexsort((rows, cols))
+        tperm = np.empty(len(data), np.int32)
+        tperm[order] = np.arange(len(data), dtype=np.int32)
+        t_indptr = np.zeros(lj + 1, np.int32)
+        t_indptr[1:] = np.cumsum(np.bincount(cols, minlength=lj))
+        tperm_off[p] = toff
+        toff += len(tperm)
+        tperms.append(tperm)
+        put(i, j, indptr, cols, data)
+        put(j, i, t_indptr, rows[order], data[order])
+    z32 = np.zeros(0, np.int32)
+    zf = np.zeros(0, np.float32)
     return (
         cell_ptr, cell_dat,
-        np.concatenate(indptrs), np.concatenate(indices),
-        np.concatenate(datas),
+        np.concatenate(indptrs) if indptrs else z32,
+        np.concatenate(indices) if indices else z32,
+        np.concatenate(datas) if datas else zf,
+        tperm_off,
+        np.concatenate(tperms) if tperms else z32,
+        pair_list,
     )
 
 
@@ -439,6 +465,7 @@ def relax_native(
     selectivity: float = 200.0,
     distances: np.ndarray | None = None,
     seeds: np.ndarray | None = None,
+    final_cutoff: float | None = None,
 ) -> dict[tuple[int, int], sp.csr_matrix] | None:
     """Relaxation rounds via the native OpenMP kernel.
 
@@ -489,25 +516,25 @@ def relax_native(
             w_eff[p, accepted] = w[accepted]
 
     lengths32 = np.asarray(lengths, dtype=np.int32)
-    current = posts
-    for _ in range(reps):
-        cp, cd, ipp, ixp, dap = _pack_cells(current, lengths)
-        out = native.relax_all_pairs(
-            n, lengths32, cp, cd, ipp, ixp, dap,
-            pair_ij, self_coef, z_scale, w_eff, cutoff,
+    cp, cd, ipp, ixp, dap, tpo, tpp, _ = _pack_cells(posts, lengths)
+    out = native.relax_all_pairs(
+        n, lengths32, cp, cd, ipp, ixp, dap,
+        pair_ij, self_coef, z_scale, w_eff, cutoff,
+        reps=reps, cutoff_last=final_cutoff
+        if final_cutoff is not None else cutoff,
+        tperm_off=tpo, tperm_pool=tpp,
+    )
+    if out is None:
+        return None
+    new = {}
+    for (i, j) in pair_list:
+        c = i * n + j
+        s = posts[(i, j)]
+        start = cd[c]
+        data = out[start : start + s.nnz]
+        blk = sp.csr_matrix(
+            (data, s.indices.copy(), s.indptr.copy()), shape=s.shape
         )
-        if out is None:
-            return None
-        new = {}
-        for (i, j) in pair_list:
-            c = i * n + j
-            s = current[(i, j)]
-            start = cd[c]
-            data = out[start : start + s.nnz]
-            blk = sp.csr_matrix(
-                (data, s.indices.copy(), s.indptr.copy()), shape=s.shape
-            )
-            blk.eliminate_zeros()
-            new[(i, j)] = blk
-        current = new
-    return current
+        blk.eliminate_zeros()
+        new[(i, j)] = blk
+    return new

@@ -171,11 +171,19 @@ def _engine() -> str:
 
 # Families whose total posterior DP work is below this many grid cells
 # run the native host engine instead of the device (the reference's own
-# split: work goes to the accelerator only when it pays for the
-# transfer, QuickPosteriorStage.cpp:141-154 in reverse).  ~3e8 cells is
-# a few seconds of 2-core OpenMP — the device path's fixed sync cost.
+# split in reverse: work goes to the accelerator only when it pays for
+# the transfer, QuickPosteriorStage.cpp:141-154).  Measured on the
+# tunneled chip: a ~2.6e8-cell oxx family (N=193) takes 47 s native vs
+# 157 s device — the device's ~0.25 s/sync tax scales with the number
+# of pair batches, so many-small-pairs crowds always lose there.  The
+# device wins on long-DP monsters (few pairs, huge planes: Pallas fills
+# ~5e8 cells/s vs ~1.5e7 native), so families over the cell budget
+# still route native when their longest sequence is short.
 _NATIVE_MAX_CELLS = int(float(os.environ.get(
     "MLPROBS_NATIVE_MAX_CELLS", 3e8)))
+_NATIVE_MAX_CELLS_SHORT = int(float(os.environ.get(
+    "MLPROBS_NATIVE_MAX_CELLS_SHORT", 1.5e9)))
+_NATIVE_SHORT_LEN = int(os.environ.get("MLPROBS_NATIVE_SHORT_LEN", 320))
 
 
 def _native_available() -> bool:
@@ -208,7 +216,11 @@ def _native_route(
         cells = sum(
             (len(seqs[i]) + 1) * (len(seqs[j]) + 1) for i, j in pairs
         )
-    return cells <= _NATIVE_MAX_CELLS and _native_available()
+    if cells > _NATIVE_MAX_CELLS:
+        lmax = max(len(s) for s in seqs)
+        if lmax > _NATIVE_SHORT_LEN or cells > _NATIVE_MAX_CELLS_SHORT:
+            return False
+    return _native_available()
 
 
 @functools.lru_cache(maxsize=1)

@@ -76,16 +76,22 @@ def _mwt_host(post: np.ndarray) -> tuple[np.ndarray, float]:
 
 
 def mwt_path(post: np.ndarray) -> tuple[np.ndarray, float]:
-    """Run the MWT DP on a dense posterior plane; return (path, score)."""
+    """Run the MWT DP on a dense posterior plane; return (path, score).
+
+    The native fill runs ~2e8 cells/s, so even the largest profile
+    planes are cheaper locally than one device round trip (a tunneled
+    chip costs ~0.25 s per sync); the jitted device DP remains only as
+    the no-toolchain fallback for big planes."""
     from mlprobs_tpu.utils import native
 
+    res = native.mwt_fill(np.asarray(post))
+    if res is not None:
+        lx, ly = post.shape
+        dirs, score = res
+        return tbk.mwt_traceback(dirs, lx, ly), score
     lx, ly = post.shape
     if lx * ly <= HOST_MWT_AREA:
-        res = native.mwt_fill(np.asarray(post))
-        if res is not None:
-            dirs, score = res
-        else:
-            dirs, score = _mwt_host(np.asarray(post))
+        dirs, score = _mwt_host(np.asarray(post))
         return tbk.mwt_traceback(dirs, lx, ly), score
     padded = _pad_plane(post)
     dirs, score = _mwt_fn()(jnp.asarray(padded), lx, ly)

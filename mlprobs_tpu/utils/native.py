@@ -304,9 +304,16 @@ def relax_all_pairs(
     z_scale: np.ndarray,        # (npairs,) float32
     w_eff: np.ndarray,          # (npairs, n) float32
     cutoff: float,
+    reps: int = 1,
+    cutoff_last: float | None = None,
+    tperm_off: np.ndarray | None = None,   # (npairs,) int64
+    tperm_pool: np.ndarray | None = None,  # int32
 ) -> np.ndarray | None:
-    """One relaxation round over all pairs; returns the output data pool
-    (same layout as data_pool; only the upper pairs' regions written)."""
+    """`reps` relaxation rounds over all pairs in native code; returns
+    the final output data pool (same layout as data_pool; only the
+    upper pairs' regions written).  Multi-round needs tperm_off /
+    tperm_pool (the upper->transpose entry mapping) so the kernel can
+    refresh both orientations between rounds."""
     L = lib()
     if L is None or not hasattr(L, "relax_all_pairs"):
         return None
@@ -316,9 +323,13 @@ def relax_all_pairs(
     L.relax_all_pairs.restype = None
     L.relax_all_pairs.argtypes = [
         ctypes.c_int, i32p, i64p, i64p, i32p, i32p, f32p,
-        ctypes.c_int, i32p, f32p, f32p, f32p, ctypes.c_float, f32p,
+        ctypes.c_int64,
+        ctypes.c_int, i32p, f32p, f32p, f32p,
+        ctypes.c_float, ctypes.c_float, ctypes.c_int, i64p, i32p, f32p,
     ]
     out = np.zeros_like(data_pool)
+    if cutoff_last is None:
+        cutoff_last = cutoff
     L.relax_all_pairs(
         n,
         lengths.ctypes.data_as(i32p),
@@ -327,12 +338,19 @@ def relax_all_pairs(
         indptr_pool.ctypes.data_as(i32p),
         indices_pool.ctypes.data_as(i32p),
         data_pool.ctypes.data_as(f32p),
+        ctypes.c_int64(len(data_pool)),
         len(pair_ij),
         pair_ij.ctypes.data_as(i32p),
         self_coef.ctypes.data_as(f32p),
         z_scale.ctypes.data_as(f32p),
         w_eff.ctypes.data_as(f32p),
         ctypes.c_float(cutoff),
+        ctypes.c_float(cutoff_last),
+        int(reps),
+        (tperm_off.ctypes.data_as(i64p) if tperm_off is not None
+         else ctypes.cast(None, i64p)),
+        (tperm_pool.ctypes.data_as(i32p) if tperm_pool is not None
+         else ctypes.cast(None, i32p)),
         out.ctypes.data_as(f32p),
     )
     return out

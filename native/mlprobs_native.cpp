@@ -553,6 +553,15 @@ extern "C" {
 // Parallelism: OpenMP dynamic over pairs — the exact analogue of the
 // reference's `#pragma omp parallel for schedule(dynamic)` pair loops.
 // A per-thread epoch-stamped dense scratch row avoids per-row memsets.
+// `reps` rounds run entirely in native code: zeroed entries stay
+// structurally present between rounds but are treated as out of
+// support (the reference rebuilds its sparse matrices each round, so
+// a dropped entry can never resurrect).  `cutoff_last` is the final
+// round's re-threshold (QuickProbs numFilterings=-1 re-sparsifies the
+// last iteration at 1e-5, ConsistencyStage.cpp:230-259).  Between
+// rounds the lower (transposed) cells are refreshed through
+// `tperm_pool`: upper entry s of pair p lands at transpose-data index
+// tperm_pool[tperm_off[p] + s].
 void relax_all_pairs(
     int n,
     const int32_t* lengths,
@@ -561,70 +570,104 @@ void relax_all_pairs(
     const int32_t* indptr_pool,
     const int32_t* indices_pool,
     const float* data_pool,
+    int64_t data_pool_len,
     int npairs,
     const int32_t* pair_ij,     // (npairs, 2)
     const float* self_coef,     // (npairs,)
     const float* z_scale,       // (npairs,)
     const float* w_eff,         // (npairs * n)
     float cutoff,
+    float cutoff_last,
+    int reps,
+    const int64_t* tperm_off,   // (npairs,) offsets into tperm_pool
+    const int32_t* tperm_pool,
     float* out_data             // same layout as data_pool (upper cells)
 ) {
     int max_len = 0;
     for (int i = 0; i < n; ++i)
         if (lengths[i] > max_len) max_len = lengths[i];
+    std::vector<float> work(data_pool, data_pool + data_pool_len);
 
+    for (int rep = 0; rep < reps; ++rep) {
+        const float cut = rep == reps - 1 ? cutoff_last : cutoff;
+        const float* cur = work.data();
 #pragma omp parallel
-    {
-        std::vector<float> acc((size_t)max_len, 0.0f);
+        {
+            std::vector<float> acc((size_t)max_len, 0.0f);
 
 #pragma omp for schedule(dynamic)
+            for (int p = 0; p < npairs; ++p) {
+                const int i = pair_ij[2 * p];
+                const int j = pair_ij[2 * p + 1];
+                const int li = lengths[i];
+                const int lj = lengths[j];
+                const float sc = self_coef[p];
+                const float zs = z_scale[p];
+                const float* we = w_eff + (size_t)p * n;
+
+                const int64_t cij = (int64_t)i * n + j;
+                const int32_t* ip_ij = indptr_pool + cell_ptr[cij];
+                const int32_t* ix_ij = indices_pool + cell_dat[cij];
+                const float* da_ij = cur + cell_dat[cij];
+                float* out = out_data + cell_dat[cij];
+
+                for (int r = 0; r < li; ++r) {
+                    const int s0 = ip_ij[r], s1 = ip_ij[r + 1];
+                    if (s0 == s1) continue;
+                    std::memset(acc.data(), 0,
+                                (size_t)lj * sizeof(float));
+                    // accumulate sum_z w_z * (row r of P_iz) @ P_zj
+                    for (int z = 0; z < n; ++z) {
+                        const float wz = we[z];
+                        if (wz == 0.0f) continue;
+                        const int64_t ciz = (int64_t)i * n + z;
+                        const int32_t* ip_a = indptr_pool + cell_ptr[ciz];
+                        const int32_t a0 = ip_a[r], a1 = ip_a[r + 1];
+                        if (a0 == a1) continue;
+                        const int32_t* ix_a = indices_pool + cell_dat[ciz];
+                        const float* da_a = cur + cell_dat[ciz];
+                        const int64_t czj = (int64_t)z * n + j;
+                        const int32_t* ip_b = indptr_pool + cell_ptr[czj];
+                        const int32_t* ix_b = indices_pool + cell_dat[czj];
+                        const float* da_b = cur + cell_dat[czj];
+                        for (int a = a0; a < a1; ++a) {
+                            const float va = wz * da_a[a];
+                            if (va == 0.0f) continue;
+                            const int m = ix_a[a];
+                            const int b0 = ip_b[m], b1 = ip_b[m + 1];
+                            for (int b = b0; b < b1; ++b) {
+                                acc[ix_b[b]] += va * da_b[b];
+                            }
+                        }
+                    }
+                    // emit at the live support of P_ij only (zeroed
+                    // entries are structurally present but dead)
+                    for (int s = s0; s < s1; ++s) {
+                        const float dv = da_ij[s];
+                        if (dv == 0.0f) { out[s] = 0.0f; continue; }
+                        const float v = sc * dv + zs * acc[ix_ij[s]];
+                        out[s] = (v < cut) ? 0.0f : v;
+                    }
+                }
+            }
+        }
+        if (rep == reps - 1 || tperm_off == nullptr) break;
+        // refresh both orientations for the next round
+#pragma omp parallel for schedule(static)
         for (int p = 0; p < npairs; ++p) {
             const int i = pair_ij[2 * p];
             const int j = pair_ij[2 * p + 1];
-            const int li = lengths[i];
-            const int lj = lengths[j];
-            const float sc = self_coef[p];
-            const float zs = z_scale[p];
-            const float* we = w_eff + (size_t)p * n;
-
             const int64_t cij = (int64_t)i * n + j;
+            const int64_t cji = (int64_t)j * n + i;
             const int32_t* ip_ij = indptr_pool + cell_ptr[cij];
-            const int32_t* ix_ij = indices_pool + cell_dat[cij];
-            const float* da_ij = data_pool + cell_dat[cij];
-            float* out = out_data + cell_dat[cij];
-
-            for (int r = 0; r < li; ++r) {
-                const int s0 = ip_ij[r], s1 = ip_ij[r + 1];
-                if (s0 == s1) continue;
-                std::memset(acc.data(), 0, (size_t)lj * sizeof(float));
-                // accumulate sum_z w_z * (row r of P_iz) @ P_zj
-                for (int z = 0; z < n; ++z) {
-                    const float wz = we[z];
-                    if (wz == 0.0f) continue;
-                    const int64_t ciz = (int64_t)i * n + z;
-                    const int32_t* ip_a = indptr_pool + cell_ptr[ciz];
-                    const int32_t a0 = ip_a[r], a1 = ip_a[r + 1];
-                    if (a0 == a1) continue;
-                    const int32_t* ix_a = indices_pool + cell_dat[ciz];
-                    const float* da_a = data_pool + cell_dat[ciz];
-                    const int64_t czj = (int64_t)z * n + j;
-                    const int32_t* ip_b = indptr_pool + cell_ptr[czj];
-                    const int32_t* ix_b = indices_pool + cell_dat[czj];
-                    const float* da_b = data_pool + cell_dat[czj];
-                    for (int a = a0; a < a1; ++a) {
-                        const int m = ix_a[a];
-                        const float va = wz * da_a[a];
-                        const int b0 = ip_b[m], b1 = ip_b[m + 1];
-                        for (int b = b0; b < b1; ++b) {
-                            acc[ix_b[b]] += va * da_b[b];
-                        }
-                    }
-                }
-                // emit at the support of P_ij only
-                for (int s = s0; s < s1; ++s) {
-                    const float v = sc * da_ij[s] + zs * acc[ix_ij[s]];
-                    out[s] = (v < cutoff) ? 0.0f : v;
-                }
+            const int64_t nnz = ip_ij[lengths[i]];
+            const float* out = out_data + cell_dat[cij];
+            float* up = work.data() + cell_dat[cij];
+            float* lo = work.data() + cell_dat[cji];
+            const int32_t* tp = tperm_pool + tperm_off[p];
+            for (int64_t s = 0; s < nnz; ++s) {
+                up[s] = out[s];
+                lo[tp[s]] = out[s];
             }
         }
     }

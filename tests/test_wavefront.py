@@ -173,6 +173,8 @@ def test_all_pairs_posteriors_engines_agree(monkeypatch):
     equivalent sparse posteriors and identical MWT scores."""
     import mlprobs_tpu.align.pairwise as pw
 
+    monkeypatch.setenv("MLPROBS_NATIVE_ROUTE", "0")
+
     rng = np.random.default_rng(7)
     seqs = [np.asarray(rng.integers(0, 20, n), np.int8)
             for n in (17, 23, 11)]
@@ -291,6 +293,7 @@ def test_long_pair_class_routes_to_host(monkeypatch):
     rng = np.random.default_rng(3)
     seqs = [np.asarray(rng.integers(0, 20, n), np.int8)
             for n in (40, 300, 35)]
+    monkeypatch.setenv("MLPROBS_NATIVE_ROUTE", "0")
     monkeypatch.setattr(pw, "_engine", lambda: "wavefront")
 
     def run():
