@@ -7,6 +7,7 @@
 //
 // Build: see tools/build_native.py (invoked automatically on import).
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -491,6 +492,501 @@ void partition_posterior_native(const int8_t *x, const int8_t *y,
     }
 }
 
+// ---------------------------------------------------------------- SIMD
+// 16-lane batched pair-HMM forward/backward: the same per-cell op
+// order as the scalar engines above, but each vector lane carries one
+// PAIR (the CPU twin of the device wave batching,
+// QuickPosteriorStage.cpp:107-135).  GCC vector extensions compile to
+// AVX-512 on this host (16 f32 lanes); per-lane (lx, ly) masks follow
+// ops/qpx.py's padded-batch semantics: out-of-range forward cells hold
+// garbage no in-range cell reads, backward consumption is guarded by
+// per-lane masks, and totals are read at each lane's terminal cell.
+
+typedef float v16 __attribute__((vector_size(64)));
+typedef int32_t m16 __attribute__((vector_size(64)));
+
+constexpr int VL = 16;
+
+static inline v16 vbc(float x) {
+    v16 r;
+    for (int k = 0; k < VL; ++k) r[k] = x;
+    return r;
+}
+
+static inline v16 vpoly3(v16 x, float a, float b, float c, float d) {
+    return ((vbc(a) * x + vbc(b)) * x + vbc(c)) * x + vbc(d);
+}
+
+static inline v16 vlookup(v16 x) {
+    const v16 p1 = vpoly3(x, -0.009350833524763f, 0.130659527668286f,
+                          0.498799810682272f, 0.693203116424741f);
+    const v16 p2 = vpoly3(x, -0.014532321752540f, 0.139942324101744f,
+                          0.495635523139337f, 0.692140569840976f);
+    const v16 p3 = vpoly3(x, -0.004605031767994f, 0.063427417320019f,
+                          0.695956496475118f, 0.514272634594009f);
+    const v16 p4 = vpoly3(x, -0.000458661602210f, 0.009695946122598f,
+                          0.930734667215156f, 0.168037164329057f);
+    return (x <= vbc(1.0f)) ? p1
+           : (x <= vbc(2.5f)) ? p2
+           : (x <= vbc(4.5f)) ? p3 : p4;
+}
+
+static inline v16 vlog_add(v16 x, v16 y) {
+    const m16 xg = x > y;
+    const v16 hi = xg ? x : y;
+    const v16 lo = xg ? y : x;
+    const v16 d = hi - lo;
+    const m16 absorb =
+        (lo == vbc(LOG_ZERO_F)) | (d >= vbc(LOG_UNDERFLOW));
+    return absorb ? hi : (vlookup(d) + lo);
+}
+
+static inline v16 vpoly4(v16 x, float a, float b, float c, float d,
+                         float e) {
+    return (((vbc(a) * x + vbc(b)) * x + vbc(c)) * x + vbc(d)) * x
+           + vbc(e);
+}
+
+static inline v16 vexp_ref(v16 x) {
+    // branch-polynomial EXP for x <= 0 (callers clamp); 0 below -16
+    const v16 m05 = vpoly4(x, 0.03254409303190190000f,
+                           0.16280432765779600000f,
+                           0.49929760485974900000f,
+                           0.99995149601363700000f,
+                           0.99999925508501600000f);
+    const v16 m1 = vpoly4(x, 0.01973899026052090000f,
+                          0.13822379685007000000f,
+                          0.48056651562365000000f,
+                          0.99326940370383500000f,
+                          0.99906756856399500000f);
+    const v16 m2 = vpoly4(x, 0.00940528203591384000f,
+                          0.09414963667859410000f,
+                          0.40825793595877300000f,
+                          0.93933625499130400000f,
+                          0.98369508190545300000f);
+    const v16 m4 = vpoly4(x, 0.00217245711583303000f,
+                          0.03484829428350620000f,
+                          0.22118199801337800000f,
+                          0.67049462206469500000f,
+                          0.83556950223398500000f);
+    const v16 m8 = vpoly4(x, 0.00012398771025456900f,
+                          0.00349155785951272000f,
+                          0.03727721426017900000f,
+                          0.17974997741536900000f,
+                          0.33249299994217400000f);
+    const v16 m16v = vpoly4(x, 0.00000051741713416603f,
+                            0.00002721456879608080f,
+                            0.00053418601865636800f,
+                            0.00464101989351936000f,
+                            0.01507447981459420000f);
+    return (x > vbc(-0.5f)) ? m05
+           : (x > vbc(-1.0f)) ? m1
+           : (x > vbc(-2.0f)) ? m2
+           : (x > vbc(-4.0f)) ? m4
+           : (x > vbc(-8.0f)) ? m8
+           : (x > vbc(-16.0f)) ? m16v : vbc(0.0f);
+}
+
+// Residue class of lane k at 1-indexed position i (PAD=20 beyond).
+static inline int lane_char(const int8_t *s, int len, int i) {
+    return (i >= 1 && i <= len) ? s[i - 1] : 20;
+}
+
+// 16-lane hmm5 forward/backward.  fM/bM are (LX+1)*(LY+1) v16 planes;
+// totals[k] = (tf_k + tb_k) / 2.
+void hmm5_fb_batch(const int8_t *const *xs, const int8_t *const *ys,
+                   const int *lxs, const int *lys, int lanes,
+                   int LX, int LY, const Hmm5Tables &tb,
+                   v16 *fM, v16 *bM, float *totals) {
+    const int W = LY + 1;
+    const v16 LZ = vbc(LOG_ZERO_F);
+    std::vector<v16> x1p(W, LZ), y1p(W, LZ), x2p(W, LZ), y2p(W, LZ);
+    std::vector<v16> x1c(W), y1c(W), x2c(W), y2c(W), mp(W, LZ), mc(W);
+    // per-j y-character tables
+    std::vector<v16> emy0(W), emy1(W);
+    std::vector<int> ycs((size_t)W * VL);
+    for (int j = 0; j <= LY; ++j)
+        for (int k = 0; k < VL; ++k) {
+            const int yc = k < lanes ? lane_char(ys[k], lys[k], j) : 20;
+            ycs[(size_t)j * VL + k] = yc;
+            emy0[j][k] = tb.lins[yc * 2 + 0];
+            emy1[j][k] = tb.lins[yc * 2 + 1];
+        }
+    std::vector<float> tf(VL, LOG_ZERO_F);
+
+    // ---- forward ----
+    for (int i = 0; i <= LX; ++i) {
+        v16 emx0, emx1;
+        std::vector<int> xcs(VL);
+        for (int k = 0; k < VL; ++k) {
+            const int xc = k < lanes ? lane_char(xs[k], lxs[k], i) : 20;
+            xcs[k] = xc;
+            emx0[k] = tb.lins[xc * 2 + 0];
+            emx1[k] = tb.lins[xc * 2 + 1];
+        }
+        for (int j = 0; j <= LY; ++j) {
+            v16 M = LZ, X1 = LZ, Y1 = LZ, X2 = LZ, Y2 = LZ;
+            if (i >= 1 && j >= 1) {
+                v16 em;
+                for (int k = 0; k < VL; ++k)
+                    em[k] = tb.lmatch[xcs[k] * 21
+                                      + ycs[(size_t)j * VL + k]];
+                if (i == 1 && j == 1) {
+                    M = vbc(tb.init[0]) + em;
+                } else {
+                    v16 acc = mp[j - 1] + vbc(T5(tb, 0, 0));
+                    acc = (acc > vbc(LOG_ZERO_F / 2)) ? acc : LZ;
+                    acc = vlog_add(acc, (x1p[j - 1] == LZ) ? LZ
+                                   : x1p[j - 1] + vbc(T5(tb, 1, 0)));
+                    acc = vlog_add(acc, (y1p[j - 1] == LZ) ? LZ
+                                   : y1p[j - 1] + vbc(T5(tb, 2, 0)));
+                    acc = vlog_add(acc, (x2p[j - 1] == LZ) ? LZ
+                                   : x2p[j - 1] + vbc(T5(tb, 3, 0)));
+                    acc = vlog_add(acc, (y2p[j - 1] == LZ) ? LZ
+                                   : y2p[j - 1] + vbc(T5(tb, 4, 0)));
+                    M = acc + em;
+                }
+            }
+            if (i >= 1) {
+                if (i == 1 && j == 0) {
+                    X1 = vbc(tb.init[1]) + emx0;
+                    X2 = vbc(tb.init[3]) + emx1;
+                } else {
+                    v16 a = (mp[j] == LZ) ? LZ
+                            : mp[j] + vbc(T5(tb, 0, 1));
+                    a = vlog_add(a, (x1p[j] == LZ) ? LZ
+                                 : x1p[j] + vbc(T5(tb, 1, 1)));
+                    X1 = emx0 + a;
+                    v16 b = (mp[j] == LZ) ? LZ
+                            : mp[j] + vbc(T5(tb, 0, 3));
+                    b = vlog_add(b, (x2p[j] == LZ) ? LZ
+                                 : x2p[j] + vbc(T5(tb, 3, 3)));
+                    X2 = emx1 + b;
+                }
+            }
+            if (j >= 1) {
+                if (i == 0 && j == 1) {
+                    Y1 = vbc(tb.init[2]) + emy0[1];
+                    Y2 = vbc(tb.init[4]) + emy1[1];
+                } else {
+                    v16 a = (mc[j - 1] == LZ) ? LZ
+                            : mc[j - 1] + vbc(T5(tb, 0, 2));
+                    a = vlog_add(a, (y1c[j - 1] == LZ) ? LZ
+                                 : y1c[j - 1] + vbc(T5(tb, 2, 2)));
+                    Y1 = emy0[j] + a;
+                    v16 b = (mc[j - 1] == LZ) ? LZ
+                            : mc[j - 1] + vbc(T5(tb, 0, 4));
+                    b = vlog_add(b, (y2c[j - 1] == LZ) ? LZ
+                                 : y2c[j - 1] + vbc(T5(tb, 4, 4)));
+                    Y2 = emy1[j] + b;
+                }
+            }
+            mc[j] = M;
+            x1c[j] = X1;
+            y1c[j] = Y1;
+            x2c[j] = X2;
+            y2c[j] = Y2;
+            fM[(size_t)i * W + j] = M;
+        }
+        // forward total capture at per-lane terminal rows
+        for (int k = 0; k < lanes; ++k) {
+            if (lxs[k] != i) continue;
+            const int jt = lys[k];
+            float t = LOG_ZERO_F;
+            const float st[5] = {mc[jt][k], x1c[jt][k], y1c[jt][k],
+                                 x2c[jt][k], y2c[jt][k]};
+            const int order[5] = {0, 1, 2, 3, 4};
+            for (int q = 0; q < 5; ++q)
+                if (st[order[q]] != LOG_ZERO_F)
+                    log_plus_equals(t, st[order[q]] + tb.init[order[q]]);
+            tf[k] = t;
+        }
+        std::swap(mp, mc);
+        std::swap(x1p, x1c);
+        std::swap(y1p, y1c);
+        std::swap(x2p, x2c);
+        std::swap(y2p, y2c);
+    }
+
+    // ---- backward ----
+    v16 lxv, lyv;
+    for (int k = 0; k < VL; ++k) {
+        lxv[k] = k < lanes ? (float)lxs[k] : 0.0f;
+        lyv[k] = k < lanes ? (float)lys[k] : 0.0f;
+    }
+    std::vector<v16> nx1(W, LZ), ny1(W, LZ), nx2(W, LZ), ny2(W, LZ);
+    std::vector<v16> cx1(W), cy1(W), cx2(W), cy2(W), nm(W, LZ), cm(W);
+    float bx1_10[VL], bx2_10[VL], by1_01[VL], by2_01[VL], bm_11[VL];
+    for (int i = LX; i >= 0; --i) {
+        v16 in0, in1;   // insert emissions of x_{i+1} per lane
+        std::vector<int> xns(VL);
+        for (int k = 0; k < VL; ++k) {
+            const int xn = k < lanes ? lane_char(xs[k], lxs[k], i + 1)
+                                     : 20;
+            xns[k] = xn;
+            in0[k] = tb.lins[xn * 2 + 0];
+            in1[k] = tb.lins[xn * 2 + 1];
+        }
+        const m16 mask_i = vbc((float)i) < lxv;
+        for (int j = LY; j >= 0; --j) {
+            const m16 mask_j = vbc((float)j) < lyv;
+            const m16 mm = mask_i & mask_j;
+            v16 emn;
+            for (int k = 0; k < VL; ++k)
+                emn[k] = tb.lmatch[xns[k] * 21
+                                   + ycs[(size_t)std::min(j + 1, LY)
+                                         * VL + k]];
+            // j+1 > LY means no lane has mask_j there; emn is masked
+            const v16 nm11 = (j + 1 <= LY)
+                ? nm[j + 1] : vbc(LOG_ZERO_F);
+            v16 pxy = (mm & (nm11 != LZ))
+                ? nm11 + emn : LZ;
+            // M: order M, X1, X2, Y1, Y2
+            v16 acc = (pxy == LZ) ? LZ : pxy + vbc(T5(tb, 0, 0));
+            acc = vlog_add(acc, (mask_i & (nx1[j] != LZ))
+                           ? nx1[j] + in0 + vbc(T5(tb, 0, 1)) : LZ);
+            acc = vlog_add(acc, (mask_i & (nx2[j] != LZ))
+                           ? nx2[j] + in1 + vbc(T5(tb, 0, 3)) : LZ);
+            const v16 cy1n = (j + 1 <= LY) ? cy1[j + 1] : LZ;
+            const v16 cy2n = (j + 1 <= LY) ? cy2[j + 1] : LZ;
+            const v16 iny0 = (j + 1 <= LY) ? emy0[j + 1] : LZ;
+            const v16 iny1 = (j + 1 <= LY) ? emy1[j + 1] : LZ;
+            acc = vlog_add(acc, (mask_j & (cy1n != LZ))
+                           ? cy1n + iny0 + vbc(T5(tb, 0, 2)) : LZ);
+            acc = vlog_add(acc, (mask_j & (cy2n != LZ))
+                           ? cy2n + iny1 + vbc(T5(tb, 0, 4)) : LZ);
+            v16 M = acc;
+            v16 X1 = vlog_add(
+                (pxy == LZ) ? LZ : pxy + vbc(T5(tb, 1, 0)),
+                (mask_i & (nx1[j] != LZ))
+                    ? nx1[j] + in0 + vbc(T5(tb, 1, 1)) : LZ);
+            v16 X2 = vlog_add(
+                (pxy == LZ) ? LZ : pxy + vbc(T5(tb, 3, 0)),
+                (mask_i & (nx2[j] != LZ))
+                    ? nx2[j] + in1 + vbc(T5(tb, 3, 3)) : LZ);
+            v16 Y1 = vlog_add(
+                (pxy == LZ) ? LZ : pxy + vbc(T5(tb, 2, 0)),
+                (mask_j & (cy1n != LZ))
+                    ? cy1n + iny0 + vbc(T5(tb, 2, 2)) : LZ);
+            v16 Y2 = vlog_add(
+                (pxy == LZ) ? LZ : pxy + vbc(T5(tb, 4, 0)),
+                (mask_j & (cy2n != LZ))
+                    ? cy2n + iny1 + vbc(T5(tb, 4, 4)) : LZ);
+            // per-lane terminal cell: the initial distribution
+            for (int k = 0; k < lanes; ++k) {
+                if (lxs[k] == i && lys[k] == j) {
+                    M[k] = tb.init[0];
+                    X1[k] = tb.init[1];
+                    Y1[k] = tb.init[2];
+                    X2[k] = tb.init[3];
+                    Y2[k] = tb.init[4];
+                }
+            }
+            cm[j] = M;
+            cx1[j] = X1;
+            cy1[j] = Y1;
+            cx2[j] = X2;
+            cy2[j] = Y2;
+            bM[(size_t)i * W + j] = M;
+        }
+        if (i == 1) {
+            for (int k = 0; k < VL; ++k) {
+                bx1_10[k] = cx1[0][k];
+                bx2_10[k] = cx2[0][k];
+                bm_11[k] = LY >= 1 ? cm[1][k] : LOG_ZERO_F;
+            }
+        }
+        if (i == 0) {
+            for (int k = 0; k < VL; ++k) {
+                by1_01[k] = LY >= 1 ? cy1[1][k] : LOG_ZERO_F;
+                by2_01[k] = LY >= 1 ? cy2[1][k] : LOG_ZERO_F;
+            }
+        }
+        std::swap(nm, cm);
+        std::swap(nx1, cx1);
+        std::swap(ny1, cy1);
+        std::swap(nx2, cx2);
+        std::swap(ny2, cy2);
+    }
+    for (int k = 0; k < lanes; ++k) {
+        const int x0 = xs[k][0], y0 = ys[k][0];
+        float tbt = tb.init[0] + tb.lmatch[x0 * 21 + y0] + bm_11[k];
+        log_plus_equals(tbt, tb.init[1] + tb.lins[x0 * 2 + 0]
+                        + bx1_10[k]);
+        log_plus_equals(tbt, tb.init[2] + tb.lins[y0 * 2 + 0]
+                        + by1_01[k]);
+        log_plus_equals(tbt, tb.init[3] + tb.lins[x0 * 2 + 1]
+                        + bx2_10[k]);
+        log_plus_equals(tbt, tb.init[4] + tb.lins[y0 * 2 + 1]
+                        + by2_01[k]);
+        totals[k] = 0.5f * (tf[k] + tbt);
+    }
+}
+
+// 16-lane local-model forward/backward (odds space).  Totals per lane
+// use the exact double-precision LSE over the lane's interior cells —
+// the same deviation from op-order fidelity as the scalar engine.
+void local_fb_batch(const int8_t *const *xs, const int8_t *const *ys,
+                    const int *lxs, const int *lys, int lanes,
+                    int LX, int LY, const LocalTables &tb,
+                    v16 *fM, v16 *bM, float *totals) {
+    const int W = LY + 1;
+    const v16 LZ = vbc(LOG_ZERO_F);
+    const float rt1 = tb.log_stay;
+    auto T3 = [&](int a, int b) { return tb.trans[a * 3 + b]; };
+    std::vector<int> ycs((size_t)W * VL);
+    std::vector<v16> liny(W);
+    for (int j = 0; j <= LY; ++j)
+        for (int k = 0; k < VL; ++k) {
+            const int yc = k < lanes ? lane_char(ys[k], lys[k], j) : 20;
+            ycs[(size_t)j * VL + k] = yc;
+            liny[j][k] = tb.lins[yc];
+        }
+    // em'(i, j) rows are rebuilt per i below
+    std::vector<v16> xp(W, LZ), yp(W, LZ), mp(W, LZ);
+    std::vector<v16> xc(W), yc_(W), mc(W);
+
+    for (int i = 0; i <= LX; ++i) {
+        std::vector<int> xcs(VL);
+        v16 linx;
+        for (int k = 0; k < VL; ++k) {
+            const int c = k < lanes ? lane_char(xs[k], lxs[k], i) : 20;
+            xcs[k] = c;
+            linx[k] = tb.lins[c];
+        }
+        for (int j = 0; j <= LY; ++j) {
+            v16 M = LZ, X = LZ, Y = LZ;
+            if (i >= 1 && j >= 1) {
+                v16 em;
+                for (int k = 0; k < VL; ++k)
+                    em[k] = tb.lmatch[xcs[k] * 21
+                                      + ycs[(size_t)j * VL + k]]
+                            - linx[k] - liny[j][k] - 2.0f * rt1;
+                v16 acc = em;
+                acc = vlog_add(acc, (mp[j - 1] == LZ) ? LZ
+                               : em + mp[j - 1] + vbc(T3(0, 0)));
+                acc = vlog_add(acc, (xp[j - 1] == LZ) ? LZ
+                               : em + xp[j - 1] + vbc(T3(1, 0)));
+                acc = vlog_add(acc, (yp[j - 1] == LZ) ? LZ
+                               : em + yp[j - 1] + vbc(T3(2, 0)));
+                M = acc;
+            }
+            if (i >= 1) {
+                v16 a = (mp[j] == LZ) ? LZ
+                        : mp[j] + vbc(T3(0, 1) - rt1);
+                X = vlog_add(a, (xp[j] == LZ) ? LZ
+                             : xp[j] + vbc(T3(1, 1) - rt1));
+            }
+            if (j >= 1) {
+                v16 a = (mc[j - 1] == LZ) ? LZ
+                        : mc[j - 1] + vbc(T3(0, 2) - rt1);
+                Y = vlog_add(a, (yc_[j - 1] == LZ) ? LZ
+                             : yc_[j - 1] + vbc(T3(2, 2) - rt1));
+            }
+            mc[j] = M;
+            xc[j] = X;
+            yc_[j] = Y;
+            fM[(size_t)i * W + j] = M;
+        }
+        std::swap(mp, mc);
+        std::swap(xp, xc);
+        std::swap(yp, yc_);
+    }
+
+    // backward
+    v16 lxv, lyv;
+    for (int k = 0; k < VL; ++k) {
+        lxv[k] = k < lanes ? (float)lxs[k] : 0.0f;
+        lyv[k] = k < lanes ? (float)lys[k] : 0.0f;
+    }
+    std::vector<v16> nx(W, LZ), ny(W, LZ), nm(W, LZ);
+    std::vector<v16> cx(W), cy(W), cm(W);
+    for (int i = LX; i >= 0; --i) {
+        std::vector<int> xns(VL);
+        v16 linxn;
+        for (int k = 0; k < VL; ++k) {
+            const int c = k < lanes ? lane_char(xs[k], lxs[k], i + 1)
+                                    : 20;
+            xns[k] = c;
+            linxn[k] = tb.lins[c];
+        }
+        const m16 mask_i = vbc((float)i) < lxv;
+        for (int j = LY; j >= 0; --j) {
+            const m16 mask_j = vbc((float)j) < lyv;
+            const m16 mm = mask_i & mask_j;
+            v16 emn;
+            for (int k = 0; k < VL; ++k) {
+                const int yn = ycs[(size_t)std::min(j + 1, LY) * VL + k];
+                emn[k] = tb.lmatch[xns[k] * 21 + yn] - linxn[k]
+                         - tb.lins[yn] - 2.0f * rt1;
+            }
+            const v16 nm11 = (j + 1 <= LY) ? nm[j + 1] : LZ;
+            const v16 pxy = (mm & (nm11 != LZ)) ? nm11 + emn : LZ;
+            v16 b0 = vbc(0.0f);   // LOG_ONE: end anywhere
+            b0 = vlog_add(b0, (pxy == LZ) ? LZ : pxy + vbc(T3(0, 0)));
+            b0 = vlog_add(b0, (mask_i & (nx[j] != LZ))
+                          ? nx[j] + vbc(T3(0, 1) - rt1) : LZ);
+            const v16 cyn = (j + 1 <= LY) ? cy[j + 1] : LZ;
+            b0 = vlog_add(b0, (mask_j & (cyn != LZ))
+                          ? cyn + vbc(T3(0, 2) - rt1) : LZ);
+            v16 X = vlog_add(
+                (pxy == LZ) ? LZ : pxy + vbc(T3(1, 0)),
+                (mask_i & (nx[j] != LZ))
+                    ? nx[j] + vbc(T3(1, 1) - rt1) : LZ);
+            v16 Y = vlog_add(
+                (pxy == LZ) ? LZ : pxy + vbc(T3(2, 0)),
+                (mask_j & (cyn != LZ))
+                    ? cyn + vbc(T3(2, 2) - rt1) : LZ);
+            // valid = i <= lx && j <= ly
+            const m16 valid = (vbc((float)i) <= lxv)
+                              & (vbc((float)j) <= lyv);
+            b0 = valid ? b0 : LZ;
+            cm[j] = b0;
+            cx[j] = valid ? X : LZ;
+            cy[j] = valid ? Y : LZ;
+            bM[(size_t)i * W + j] = b0;
+        }
+        std::swap(nm, cm);
+        std::swap(nx, cx);
+        std::swap(ny, cy);
+    }
+
+    // per-lane exact LSE totals over interior cells (double precision)
+    for (int k = 0; k < lanes; ++k) {
+        const int lx = lxs[k], ly = lys[k];
+        double mx = -1e300;
+        for (int i = 1; i <= lx; ++i)
+            for (int j = 1; j <= ly; ++j) {
+                const double v = fM[(size_t)i * W + j][k];
+                if (v > mx) mx = v;
+            }
+        double s = 0.0;
+        for (int i = 1; i <= lx; ++i)
+            for (int j = 1; j <= ly; ++j)
+                s += std::exp((double)fM[(size_t)i * W + j][k] - mx);
+        const float total_f = (float)(mx + std::log(s));
+        auto emx = [&](int i, int j) {
+            const int a = xs[k][i - 1], b = ys[k][j - 1];
+            return tb.lmatch[a * 21 + b] - tb.lins[a] - tb.lins[b]
+                   - 2.0f * rt1;
+        };
+        mx = -1e300;
+        for (int i = 1; i <= lx; ++i)
+            for (int j = 1; j <= ly; ++j) {
+                const double v = (double)bM[(size_t)i * W + j][k]
+                                 + emx(i, j);
+                if (v > mx) mx = v;
+            }
+        s = 0.0;
+        for (int i = 1; i <= lx; ++i)
+            for (int j = 1; j <= ly; ++j)
+                s += std::exp((double)bM[(size_t)i * W + j][k]
+                              + emx(i, j) - mx);
+        const float total_b = (float)(mx + std::log(s));
+        totals[k] = 0.5f * (total_f + total_b);
+    }
+}
+
 // ------------------------------------------------------------------ MWT
 // Maximum-expected-accuracy DP over a 0-indexed-interior posterior
 // plane laid out (lx+1)*(ly+1) with p(i, j) at [i*W + j] (1-indexed).
@@ -913,96 +1409,135 @@ int64_t posterior_family_run(
     LocalTables lo{lo_trans, lo_lmatch, lo_lins, lo_log_stay};
     PartTables pt{pt_lscore, pt_lgo, pt_lge};
 
+    // Lane-group the pairs by similar dimensions (sort by (ly, lx)) so
+    // the 16-lane SIMD engines waste little padding; OpenMP over groups.
+    std::vector<int> order(n_pairs);
+    for (int p = 0; p < n_pairs; ++p) order[p] = p;
+    auto dims = [&](int p, int &lx, int &ly) {
+        const int i = pair_ij[2 * p], j = pair_ij[2 * p + 1];
+        lx = (int)(seq_off[i + 1] - seq_off[i]);
+        ly = (int)(seq_off[j + 1] - seq_off[j]);
+    };
+    std::sort(order.begin(), order.end(), [&](int a, int b) {
+        int ax, ay, bx, by;
+        dims(a, ax, ay);
+        dims(b, bx, by);
+        if (ay != by) return ay < by;
+        return ax < bx;
+    });
+    const int n_groups = (n_pairs + VL - 1) / VL;
+
 #ifdef _OPENMP
 #pragma omp parallel for schedule(dynamic)
 #endif
-    for (int p = 0; p < n_pairs; ++p) {
-        const int i = pair_ij[2 * p], j = pair_ij[2 * p + 1];
-        const int8_t *sx = seq_pool + seq_off[i];
-        const int8_t *sy = seq_pool + seq_off[j];
-        const int lx = (int)(seq_off[i + 1] - seq_off[i]);
-        const int ly = (int)(seq_off[j + 1] - seq_off[j]);
-        const int W = ly + 1;
-        const size_t plane = (size_t)(lx + 1) * W;
-        std::vector<float> post(plane, 0.0f);
+    for (int g = 0; g < n_groups; ++g) {
+        const int g0 = g * VL;
+        const int lanes = std::min(VL, n_pairs - g0);
+        const int8_t *sx[VL];
+        const int8_t *sy[VL];
+        int lxs[VL], lys[VL];
+        int LX = 1, LY = 1;
+        for (int k = 0; k < lanes; ++k) {
+            const int p = order[g0 + k];
+            const int i = pair_ij[2 * p], j = pair_ij[2 * p + 1];
+            sx[k] = seq_pool + seq_off[i];
+            sy[k] = seq_pool + seq_off[j];
+            lxs[k] = (int)(seq_off[i + 1] - seq_off[i]);
+            lys[k] = (int)(seq_off[j + 1] - seq_off[j]);
+            if (lxs[k] > LX) LX = lxs[k];
+            if (lys[k] > LY) LY = lys[k];
+        }
+        const int Wg = LY + 1;
+        const size_t gplane = (size_t)(LX + 1) * Wg;
+        std::vector<v16> fM(gplane), bM(gplane);
+        std::vector<v16> comb(gplane, vbc(0.0f));
+        float totals[VL];
         int n_models = 0;
 
-        auto rms_add = [&](const float *q) {
-            for (size_t k = 0; k < plane; ++k) post[k] += q[k] * q[k];
+        auto accumulate = [&]() {
+            v16 tot;
+            for (int k = 0; k < VL; ++k) {
+                const float t = k < lanes ? totals[k] : 1.0f;
+                tot[k] = t == 0.0f ? 1.0f : t;
+            }
+            for (size_t c = 0; c < gplane; ++c) {
+                v16 v = fM[c] + bM[c] - tot;
+                v = (v < vbc(0.0f)) ? v : vbc(0.0f);
+                const v16 pm = vexp_ref(v);
+                comb[c] += pm * pm;
+            }
             ++n_models;
         };
 
         if (mode == 0 || mode == 3) {           // hmm5
-            std::vector<float> fM(plane), bM(plane), pm(plane);
-            float total;
-            hmm5_fb(sx, sy, lx, ly, h5, fM.data(), bM.data(), &total);
-            const float tot = total == 0.0f ? 1.0f : total;
-            for (int a = 1; a <= lx; ++a)
-                for (int b = 1; b <= ly; ++b) {
-                    const size_t k = (size_t)a * W + b;
-                    float v = fM[k] + bM[k] - tot;
-                    pm[k] = exp_ref(v < 0.0f ? v : 0.0f);
-                }
-            rms_add(pm.data());
+            hmm5_fb_batch(sx, sy, lxs, lys, lanes, LX, LY, h5,
+                          fM.data(), bM.data(), totals);
+            accumulate();
         }
         if (mode == 0 || mode == 1) {           // local
-            std::vector<float> fM(plane), bM(plane), pm(plane, 0.0f);
-            float total;
-            local_fb(sx, sy, lx, ly, lo, fM.data(), bM.data(), &total);
-            const float tot = total == 0.0f ? 1.0f : total;
-            for (int a = 1; a <= lx; ++a)
-                for (int b = 1; b <= ly; ++b) {
-                    const size_t k = (size_t)a * W + b;
-                    float v = fM[k] + bM[k] - tot;
-                    pm[k] = exp_ref(v < 0.0f ? v : 0.0f);
-                }
-            rms_add(pm.data());
+            local_fb_batch(sx, sy, lxs, lys, lanes, LX, LY, lo,
+                           fM.data(), bM.data(), totals);
+            accumulate();
         }
         if (mode == 0 || mode == 2 || mode == 3) {  // partition
-            std::vector<float> pm(plane);
-            partition_posterior_native(sx, sy, lx, ly, pt, mode == 3,
-                                       pm.data());
-            rms_add(pm.data());
-        }
-        if (n_models > 1) {
-            const float inv = 1.0f / (float)n_models;
-            for (size_t k = 0; k < plane; ++k)
-                post[k] = std::sqrt(post[k] * inv);
-        } else {
-            for (size_t k = 0; k < plane; ++k)
-                post[k] = std::sqrt(post[k]);
-        }
-
-        // MWT accuracy DP + aligned-pair count via traceback
-        std::vector<int8_t> dirs(plane);
-        scores[p] = mwt_fill(post.data(), lx, ly, dirs.data());
-        if (matches) {
-            int r = lx, c = ly, nb = 0;
-            while (r != 0 || c != 0) {
-                const int8_t d = dirs[(size_t)r * W + c];
-                if (d == 0) { --r; --c; ++nb; }
-                else if (d == 1) { --c; }
-                else { --r; }
+            for (int k = 0; k < lanes; ++k) {
+                const int W = lys[k] + 1;
+                std::vector<float> pm((size_t)(lxs[k] + 1) * W);
+                partition_posterior_native(sx[k], sy[k], lxs[k],
+                                           lys[k], pt, mode == 3,
+                                           pm.data());
+                for (int a = 1; a <= lxs[k]; ++a)
+                    for (int b = 1; b <= lys[k]; ++b) {
+                        const float q = pm[(size_t)a * W + b];
+                        comb[(size_t)a * Wg + b][k] += q * q;
+                    }
             }
-            matches[p] = nb;
+            ++n_models;
         }
 
-        // sparsify (cutoff keeps every entry >= 0.01 like
-        // SparseMatrix.h:14 — no top-k truncation on the host engine)
-        CsrResult &res = g_post_results[p];
-        res.indptr.resize(lx + 1);
-        for (int a = 1; a <= lx; ++a) {
-            res.indptr[a - 1] = (int32_t)res.indices.size();
-            const float *row = post.data() + (size_t)a * W;
-            for (int b = 1; b <= ly; ++b) {
-                if (row[b] >= cutoff) {
-                    res.indices.push_back(b - 1);
-                    res.data.push_back(row[b]);
+        const float inv = 1.0f / (float)n_models;
+        for (int k = 0; k < lanes; ++k) {
+            const int p = order[g0 + k];
+            const int lx = lxs[k], ly = lys[k];
+            const int W = ly + 1;
+            const size_t plane = (size_t)(lx + 1) * W;
+            std::vector<float> post(plane, 0.0f);
+            for (int a = 1; a <= lx; ++a)
+                for (int b = 1; b <= ly; ++b)
+                    post[(size_t)a * W + b] = std::sqrt(
+                        comb[(size_t)a * Wg + b][k] * inv);
+
+            // MWT accuracy DP + aligned-pair count via traceback
+            std::vector<int8_t> dirs(plane);
+            scores[p] = mwt_fill(post.data(), lx, ly, dirs.data());
+            if (matches) {
+                int r = lx, c = ly, nb = 0;
+                while (r != 0 || c != 0) {
+                    const int8_t d = dirs[(size_t)r * W + c];
+                    if (d == 0) { --r; --c; ++nb; }
+                    else if (d == 1) { --c; }
+                    else { --r; }
+                }
+                matches[p] = nb;
+            }
+
+            // sparsify (cutoff keeps every entry >= 0.01 like
+            // SparseMatrix.h:14 — no top-k truncation on the host)
+            CsrResult &res = g_post_results[p];
+            res.indptr.resize(lx + 1);
+            for (int a = 1; a <= lx; ++a) {
+                res.indptr[a - 1] = (int32_t)res.indices.size();
+                const float *row = post.data() + (size_t)a * W;
+                for (int b = 1; b <= ly; ++b) {
+                    if (row[b] >= cutoff) {
+                        res.indices.push_back(b - 1);
+                        res.data.push_back(row[b]);
+                    }
                 }
             }
+            res.indptr[lx] = (int32_t)res.indices.size();
+            nnz_out[p] = (int64_t)res.data.size();
         }
-        res.indptr[lx] = (int32_t)res.indices.size();
-        nnz_out[p] = (int64_t)res.data.size();
     }
     int64_t total_nnz = 0;
     for (int p = 0; p < n_pairs; ++p)
