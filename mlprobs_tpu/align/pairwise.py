@@ -179,11 +179,18 @@ def _engine() -> str:
 # device wins on long-DP monsters (few pairs, huge planes: Pallas fills
 # ~5e8 cells/s vs ~1.5e7 native), so families over the cell budget
 # still route native when their longest sequence is short.
+# Defaults are tuned for THIS deployment (tunneled chip, ~0.25 s/sync,
+# 2-core host): measured end-to-end, the native engine won every
+# benchmark-suite family class tried, including the N=142 x L=514
+# monster (device sector path: 1124 s, SP 0.79; the sector syncs and
+# the top-k CSR truncation both hurt).  On a direct-attached TPU
+# (sub-ms syncs) lower MLPROBS_NATIVE_MAX_CELLS to ~1e7 so the MXU
+# takes everything beyond trivial families.
 _NATIVE_MAX_CELLS = int(float(os.environ.get(
     "MLPROBS_NATIVE_MAX_CELLS", 3e8)))
 _NATIVE_MAX_CELLS_SHORT = int(float(os.environ.get(
-    "MLPROBS_NATIVE_MAX_CELLS_SHORT", 1.5e9)))
-_NATIVE_SHORT_LEN = int(os.environ.get("MLPROBS_NATIVE_SHORT_LEN", 320))
+    "MLPROBS_NATIVE_MAX_CELLS_SHORT", 4e9)))
+_NATIVE_SHORT_LEN = int(os.environ.get("MLPROBS_NATIVE_SHORT_LEN", 1152))
 
 
 def _native_available() -> bool:

@@ -21,6 +21,13 @@ CASES = [
     ("sabre", "sup_387", 0.99, 0.99),
     ("sabre", "sup_296", 0.99, 0.99),
     ("ox", "_491s6", 0.98, 0.95),
+    # round-4 tail families (VERDICT r04 item 9): these regressed or
+    # failed silently before the fidelity fixes; floors sit just below
+    # the round-5 campaign scores so any regression trips the gate
+    ("ox", "12t113", 0.99, 0.98),     # r04: SP 0.358 / TC 0.008
+    ("ox", "12t116", 0.99, 0.98),     # r04: TC 0.41-0.49 cluster
+    ("bali3", "BB20036", 0.96, 0.65),  # r04: TC 0.367
+    ("bali3", "BB11030", 0.90, 0.65),  # r04: RESOURCE_EXHAUSTED casualty
 ]
 
 

@@ -86,3 +86,26 @@ def test_glibc_rand_reference_values():
     assert [g.rand() for _ in range(3)] == [
         1804289383, 846930886, 1681692777
     ]
+
+
+def test_msf_and_clustal_input_parsing():
+    """LoadMFA's alternative-format fallback (MultiSequence.h:267-295):
+    ClustalW and MSF interleaved alignments parse like the reference."""
+    from mlprobs_tpu.core.fasta import parse_fasta
+
+    clustal = (
+        "CLUSTAL W (1.83) multiple sequence alignment\n\n"
+        "seq1   MKV-LA\nseq2   MKVQLA\n\n"
+        "seq1   GDE\nseq2   GD-\n"
+    )
+    assert parse_fasta(clustal) == [
+        ("seq1", "MKV-LAGDE"), ("seq2", "MKVQLAGD-")
+    ]
+    msf = (
+        "PileUp\n\n   MSF: 6  Type: P  Check: 1 ..\n\n"
+        " Name: alpha Len: 6\n Name: beta Len: 6\n\n//\n\n"
+        "alpha  MKV.LA\nbeta   mkvqla\n"
+    )
+    assert parse_fasta(msf) == [
+        ("alpha", "MKV-LA"), ("beta", "MKVQLA")
+    ]
