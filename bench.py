@@ -27,20 +27,28 @@ from pathlib import Path
 
 REF = Path("/root/reference/TEST")
 
-# Stratified sample from BASELINE_CPU.json: small/mid families of all
-# four suites plus one large oxx crowd.  Monsters (BB30003: 676 s CPU)
-# are excluded to keep the bench under ~5 min; the campaign covers them.
+# Stratified sample from BASELINE_CPU.json: small/mid/large families of
+# all four suites.  The one >600 s-CPU monster (BB30003) is excluded to
+# keep the bench under ~10 min; the quality campaign covers it.
 FAMILIES = [
     ("sabre", "sup_387"),
     ("sabre", "sup_058"),
     ("sabre", "sup_182"),
+    ("sabre", "sup_215"),
     ("ox", "12t110"),
     ("ox", "___437"),
+    ("ox", "____12"),
     ("bali3", "BB11012"),
     ("bali3", "BB12026"),
     ("bali3", "BBS20026"),
+    ("bali3", "BB20036"),
+    ("bali3", "BB20028"),
+    ("bali3", "BBS30021"),
     ("oxx", "____46"),
     ("oxx", "___121"),
+    ("oxx", "_22t45"),
+    ("oxx", "_12s70"),
+    ("oxx", "_490t8"),
 ]
 
 
